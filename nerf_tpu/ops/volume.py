@@ -1,0 +1,94 @@
+"""Differentiable volume rendering (alpha compositing) of a radiance field.
+
+Behavioral parity target (reference: krrish94/nerf-pytorch):
+  - ``volume_render_radiance_field`` -> nerf/volume_rendering_utils.py:6-53
+
+Semantics preserved exactly:
+  * inter-sample distances with a 1e10 far sentinel, scaled by ||ray_dir||
+    (volume_rendering_utils.py:14-24)
+  * rgb = sigmoid(raw rgb) (:26)
+  * optional Gaussian noise on raw sigma before the relu (:28-38)
+  * alpha = 1 - exp(-sigma * dist); weights = alpha * T where
+    T = exclusive-cumprod(1 - alpha + 1e-10) (:39-40)
+  * rgb / depth / acc / disparity maps, optional white background (:42-51)
+
+TPU notes: everything here is elementwise + one associative scan + small
+reductions over the samples axis — XLA fuses the entire function into the
+tail of the MLP matmul that produces ``radiance_field``. Shapes are static;
+the noise path threads an explicit PRNG key instead of torch's global RNG.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .math import cumprod_exclusive
+
+
+class RenderOutputs(NamedTuple):
+    """Per-ray composited maps. Mirrors the reference 5-tuple return."""
+
+    rgb: jnp.ndarray        # (..., 3)
+    disp: jnp.ndarray       # (...,)
+    acc: jnp.ndarray        # (...,)
+    weights: jnp.ndarray    # (..., num_samples)
+    depth: jnp.ndarray      # (...,)
+
+
+def volume_render_radiance_field(
+    radiance_field: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    radiance_field_noise_std: float = 0.0,
+    white_background: bool = False,
+    noise_key: Optional[jax.Array] = None,
+) -> RenderOutputs:
+    """Composite a sampled radiance field into rgb/disparity/accumulation maps.
+
+    radiance_field: (..., num_samples, 4) raw MLP outputs [r, g, b, sigma].
+    depth_values:   (..., num_samples) sample depths along each ray.
+    ray_directions: (..., 3) un-normalized ray directions.
+    """
+    one_e_10 = jnp.array(1e10, dtype=depth_values.dtype)
+    dists = jnp.concatenate(
+        [
+            depth_values[..., 1:] - depth_values[..., :-1],
+            jnp.broadcast_to(one_e_10, depth_values[..., :1].shape),
+        ],
+        axis=-1,
+    )
+    dists = dists * jnp.linalg.norm(ray_directions, axis=-1)[..., None]
+
+    rgb = jax.nn.sigmoid(radiance_field[..., :3])
+
+    sigma_raw = radiance_field[..., 3]
+    if radiance_field_noise_std > 0.0:
+        if noise_key is None:
+            raise ValueError(
+                "volume_render_radiance_field needs noise_key when "
+                "radiance_field_noise_std > 0"
+            )
+        noise = (
+            jax.random.normal(noise_key, sigma_raw.shape, dtype=sigma_raw.dtype)
+            * radiance_field_noise_std
+        )
+        sigma_raw = sigma_raw + noise
+    sigma = jax.nn.relu(sigma_raw)
+
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    weights = alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * depth_values, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(
+        jnp.full_like(depth_map, 1e-10), depth_map / acc_map
+    )
+
+    if white_background:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
