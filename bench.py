@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Perf benchmark: rays/sec/chip on the lego-lowres training protocol.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Protocol (matches the reference's lego-lowres training step,
+config/lego.yml): 1024-ray batches, 64 coarse + 64 fine samples/ray,
+4x128 FlexibleNeRFModel with 10/4 encoding functions, viewdirs, stratified
+perturbation + sigma noise, Adam — i.e. the full forward+backward+update
+hot loop. Also reports 400x400 image-render throughput (eval path).
+
+Baseline: the reference publishes no absolute rays/sec. BASELINE.md records
+200k iters x 1024 rays in "a few hours to a day" on one GPU (README.md:59);
+taking the fast end (5 h) gives ~11.4k rays/s — the denominator used for
+vs_baseline (>10x is the BASELINE.json target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_TRAIN_RAYS_PER_SEC = 11378.0  # 200_000 * 1024 rays / 5 h (see docstring)
+
+
+def bench_train(num_steps: int = 60, batch: int = 1024) -> float:
+    from nerf_tpu.engine.renderer import RenderSettings
+    from nerf_tpu.engine.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        sample_ray_batch,
+    )
+    from nerf_tpu.models import FlexibleNeRFModel
+
+    settings = RenderSettings(
+        num_coarse=64, num_fine=64, perturb=True,
+        radiance_field_noise_std=0.2, white_background=True,
+        near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+    )
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
+    state = create_train_state(model, model, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, model, settings, opt)
+
+    # Synthetic device-resident ray store (perf is content-independent).
+    n = 1 << 18
+    key = jax.random.PRNGKey(1)
+    ro = jax.random.uniform(key, (n, 3), minval=-1, maxval=1)
+    rd = jax.random.uniform(key, (n, 3), minval=-1, maxval=1) - jnp.array([0, 0, 1.5])
+    tgt = jax.random.uniform(key, (n, 3))
+
+    # warmup/compile
+    k = jax.random.PRNGKey(2)
+    for _ in range(3):
+        k, ks, kt = jax.random.split(k, 3)
+        state, m = step(state, *sample_ray_batch(ks, ro, rd, tgt, batch), kt)
+    jax.block_until_ready(m.loss)
+
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        k, ks, kt = jax.random.split(k, 3)
+        state, m = step(state, *sample_ray_batch(ks, ro, rd, tgt, batch), kt)
+    jax.block_until_ready(m.loss)
+    dt = time.perf_counter() - t0
+    return num_steps * batch / dt
+
+
+def bench_render(side: int = 400) -> float:
+    from nerf_tpu.data import pose_spherical
+    from nerf_tpu.engine.renderer import RenderSettings, make_image_render_fn
+    from nerf_tpu.models import FlexibleNeRFModel
+    from nerf_tpu.ops import get_ray_bundle
+
+    settings = RenderSettings(
+        num_coarse=64, num_fine=64, perturb=False, white_background=True,
+        near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+        chunksize=65536,
+    )
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    pc = model.init(jax.random.PRNGKey(0))
+    pf = model.init(jax.random.PRNGKey(1))
+    render = make_image_render_fn(model, model, settings)
+
+    import numpy as np
+
+    focal = 0.5 * side / np.tan(0.5 * 0.6911112070083618)
+    pose = jnp.asarray(pose_spherical(45.0, -30.0, 4.0))
+    ro, rd = get_ray_bundle(side, side, focal, pose)
+
+    out = render(pc, pf, ro, rd)  # compile
+    jax.block_until_ready(out["rgb_fine"])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = render(pc, pf, ro, rd)
+    jax.block_until_ready(out["rgb_fine"])
+    dt = (time.perf_counter() - t0) / reps
+    return side * side / dt
+
+
+def main():
+    train_rps = bench_train()
+    render_rps = bench_render()
+    result = {
+        "metric": "train rays/sec/chip (lego-lowres protocol: 1024-ray batch, 64+64 samples, fwd+bwd+adam)",
+        "value": round(train_rps, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(train_rps / REFERENCE_TRAIN_RAYS_PER_SEC, 2),
+        "render_rays_per_sec_400px": round(render_rps, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Render novel views from a trained NeRF checkpoint (TPU-native CLI).
+
+Behavioral parity target (reference: krrish94/nerf-pytorch eval_nerf.py:39-194):
+loads a checkpoint (native .ntc OR the reference's torch .ckpt format),
+renders the dataset's render-pose trajectory to PNGs with optional disparity
+maps, and reports per-image timing. The render pipeline is the chunked
+lax.map image renderer compiled once and reused across poses.
+
+Usage:
+  python eval_nerf.py --config cfg.yml --checkpoint ckpt --savedir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import imageio.v2 as imageio
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.config import load_config, model_from_config, render_settings_from_config
+from nerf_tpu.data import load_blender_data, load_llff_data, spherical_render_poses
+from nerf_tpu.engine.checkpoint import load_checkpoint, load_reference_checkpoint
+from nerf_tpu.engine.renderer import make_image_render_fn
+from nerf_tpu.ops import get_ray_bundle
+
+
+def cast_to_image(img: np.ndarray) -> np.ndarray:
+    """float [0,1] (H,W,3) -> uint8 (reference eval_nerf.py:23-30)."""
+    return (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def cast_to_disparity_image(disp: np.ndarray) -> np.ndarray:
+    """Normalized uint8 disparity (reference eval_nerf.py:33-36)."""
+    img = np.asarray(disp)
+    img = np.nan_to_num(img, nan=0.0, posinf=0.0)
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-10)
+    return (img * 255).astype(np.uint8)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--savedir", type=str, default="rendered")
+    parser.add_argument("--save-disparity-image", action="store_true")
+    parser.add_argument(
+        "--num-poses", type=int, default=0,
+        help="Render only the first N poses (0 = all).",
+    )
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+
+    # Render poses come from the dataset type (reference eval_nerf.py:60-85);
+    # blender scenes don't need images on disk for eval — use the standard orbit.
+    if cfg.dataset.type == "blender":
+        if cfg.dataset.basedir and os.path.isdir(cfg.dataset.basedir):
+            _, _, render_poses, hwf, _ = load_blender_data(
+                cfg.dataset.basedir, half_res=cfg.dataset.half_res,
+                testskip=cfg.dataset.testskip,
+            )
+            h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+        else:
+            h = int(getattr(cfg.dataset, "height", 400))
+            w = int(getattr(cfg.dataset, "width", 400))
+            focal = float(
+                getattr(cfg.dataset, "focal", 0.5 * w / np.tan(0.5 * 0.6911112070083618))
+            )
+            render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
+    elif cfg.dataset.type == "llff":
+        _, poses, _, render_poses, _ = load_llff_data(
+            cfg.dataset.basedir, factor=getattr(cfg.dataset, "downsample_factor", 8)
+        )
+        hwf = poses[0, :3, -1]
+        h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    else:
+        raise ValueError(f"Unsupported dataset type {cfg.dataset.type!r} for eval")
+
+    settings = render_settings_from_config(cfg, "validation", hwf=(h, w, focal))
+    # Reference-format checkpoints hold default-shaped (4x128) models
+    # (SURVEY.md §5 quirk 1); native checkpoints match the config.
+    is_reference_ckpt = args.checkpoint.endswith(".ckpt")
+    model_coarse = model_from_config(
+        cfg.models.coarse, reference_compat_shapes=is_reference_ckpt
+    )
+    model_fine = (
+        model_from_config(cfg.models.fine, reference_compat_shapes=is_reference_ckpt)
+        if "fine" in cfg.models
+        else None
+    )
+
+    if is_reference_ckpt:
+        ckpt = load_reference_checkpoint(args.checkpoint)
+        params_coarse = jax.tree.map(jnp.asarray, ckpt["params_coarse"])
+        params_fine = (
+            jax.tree.map(jnp.asarray, ckpt["params_fine"])
+            if ckpt["params_fine"] is not None
+            else None
+        )
+        # Optional hwf override keys (reference eval_nerf.py:138-143).
+        if "height" in ckpt:
+            h, w = int(ckpt["height"]), int(ckpt["width"])
+            focal = float(ckpt["focal_length"])
+    else:
+        ckpt = load_checkpoint(args.checkpoint)
+        params_coarse = jax.tree.map(jnp.asarray, ckpt["params_coarse"])
+        params_fine = (
+            jax.tree.map(jnp.asarray, ckpt["params_fine"])
+            if ckpt.get("params_fine") is not None
+            else None
+        )
+
+    render_image = make_image_render_fn(model_coarse, model_fine, settings)
+
+    os.makedirs(args.savedir, exist_ok=True)
+    if args.save_disparity_image:
+        os.makedirs(os.path.join(args.savedir, "disparity"), exist_ok=True)
+
+    poses = np.asarray(render_poses)
+    if args.num_poses > 0:
+        poses = poses[: args.num_poses]
+
+    times = []
+    for i, pose in enumerate(poses):
+        t0 = time.time()
+        ro, rd = get_ray_bundle(h, w, focal, jnp.asarray(pose[:3, :4], jnp.float32))
+        maps = render_image(params_coarse, params_fine, ro, rd)
+        rgb = maps.get("rgb_fine", maps["rgb_coarse"])
+        rgb.block_until_ready()
+        dt = time.time() - t0
+        times.append(dt)
+        imageio.imwrite(
+            os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb)
+        )
+        if args.save_disparity_image:
+            disp = maps.get("disp_fine", maps["disp_coarse"])
+            imageio.imwrite(
+                os.path.join(args.savedir, "disparity", f"{i:04d}.png"),
+                cast_to_disparity_image(np.asarray(disp)),
+            )
+        print(f"[{i:04d}] {dt:.3f}s ({h * w / dt:,.0f} rays/s)")
+
+    steady = times[1:] or times
+    print(
+        f"rendered {len(poses)} poses at {h}x{w}; "
+        f"steady-state {np.mean(steady):.3f}s/img = {h * w / np.mean(steady):,.0f} rays/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Default configuration schema + config -> engine object builders.
+
+The schema mirrors the reference's YAML layout key-for-key (SURVEY.md §5;
+reference config/lego.yml, config/fern.yml) so reference config files load
+unmodified. Builders translate config sections into the engine's static
+objects (RenderSettings, model instances, optimizer).
+
+Reference quirk 1 (SURVEY.md §5): the reference never passes
+num_layers/hidden_size/skip_connect_every to model constructors, so all its
+checkpoints are default-shaped (4x128). ``model_from_config`` passes sizes
+through by default (the correct behavior); pass
+``reference_compat_shapes=True`` to reproduce the reference's
+defaults-only construction when loading its pretrained checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+from ..engine.renderer import RenderSettings
+from ..engine.train import make_optimizer
+from ..models import get_model
+from .cfgnode import CfgNode
+
+
+def get_default_config() -> CfgNode:
+    """The full default config tree (reference config/lego.yml schema)."""
+    return CfgNode(
+        {
+            "experiment": {
+                "id": "experiment",
+                "logdir": "logs",
+                "randomseed": 42,
+                "train_iters": 200000,
+                "validate_every": 100,
+                "save_every": 5000,
+                "print_every": 100,
+            },
+            "dataset": {
+                "type": "blender",
+                "basedir": "",
+                "cachedir": None,
+                "half_res": True,
+                "testskip": 1,
+                "no_ndc": True,
+                "near": 2.0,
+                "far": 6.0,
+                "downsample_factor": 1,
+                "llffhold": 8,
+                "spherify": False,
+            },
+            "models": {
+                "coarse": _default_model_cfg(),
+                "fine": _default_model_cfg(),
+            },
+            "optimizer": {"type": "Adam", "lr": 5.0e-3},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "encode_position_fn": "positional_encoding",
+                "encode_direction_fn": "positional_encoding",
+                "train": _default_mode_cfg(train=True),
+                "validation": _default_mode_cfg(train=False),
+            },
+        }
+    )
+
+
+def _default_model_cfg() -> dict:
+    return {
+        "type": "FlexibleNeRFModel",
+        "num_layers": 4,
+        "hidden_size": 128,
+        "skip_connect_every": 4,
+        "num_encoding_fn_xyz": 10,
+        "num_encoding_fn_dir": 4,
+        "include_input_xyz": True,
+        "include_input_dir": True,
+        "log_sampling_xyz": True,
+        "log_sampling_dir": True,
+        "use_viewdirs": True,
+    }
+
+
+def _default_mode_cfg(train: bool) -> dict:
+    cfg = {
+        "chunksize": 131072,
+        "perturb": train,
+        "num_coarse": 64,
+        "num_fine": 64,
+        "white_background": False,
+        "radiance_field_noise_std": 0.2 if train else 0.0,
+        "lindisp": False,
+    }
+    if train:
+        cfg["num_random_rays"] = 1024
+    return cfg
+
+
+def load_config(path: str, overrides: Optional[list] = None) -> CfgNode:
+    """Load a YAML config merged over the defaults (new keys permitted)."""
+    cfg = get_default_config()
+    cfg.set_new_allowed(True)
+    cfg.merge_from_file(path)
+    if overrides:
+        cfg.merge_from_list(overrides)
+    return cfg
+
+
+def render_settings_from_config(
+    cfg: CfgNode,
+    mode: str = "train",
+    hwf: Optional[Tuple[int, int, float]] = None,
+) -> RenderSettings:
+    """Build static RenderSettings from cfg.nerf.<mode> + cfg.dataset + encoding.
+
+    The reference threads these through getattr(options.nerf, mode)
+    (train_utils.py:48 et al.); NDC gating follows cfg.dataset.no_ndc
+    (train_utils.py:157 — the reference requires a literal False; we treat
+    any falsy value as "use NDC").
+    """
+    mode_cfg = getattr(cfg.nerf, mode)
+    model_cfg = cfg.models.coarse
+    use_ndc = not cfg.dataset.no_ndc
+    height, width, focal = (0, 0, 0.0) if hwf is None else hwf
+    if use_ndc and hwf is None:
+        raise ValueError("NDC rendering requires hwf=(height, width, focal)")
+    return RenderSettings(
+        num_coarse=int(mode_cfg.num_coarse),
+        num_fine=int(mode_cfg.num_fine),
+        chunksize=int(mode_cfg.chunksize),
+        perturb=bool(mode_cfg.perturb),
+        radiance_field_noise_std=float(mode_cfg.radiance_field_noise_std),
+        white_background=bool(mode_cfg.white_background),
+        lindisp=bool(mode_cfg.lindisp),
+        near=float(cfg.dataset.near),
+        far=float(cfg.dataset.far),
+        use_viewdirs=bool(cfg.nerf.use_viewdirs),
+        use_ndc=use_ndc,
+        height=int(height),
+        width=int(width),
+        focal_length=float(focal),
+        num_encoding_fn_xyz=int(model_cfg.num_encoding_fn_xyz),
+        num_encoding_fn_dir=int(model_cfg.num_encoding_fn_dir),
+        include_input_xyz=bool(model_cfg.include_input_xyz),
+        include_input_dir=bool(model_cfg.include_input_dir),
+        log_sampling_xyz=bool(model_cfg.log_sampling_xyz),
+        log_sampling_dir=bool(model_cfg.log_sampling_dir),
+    )
+
+
+def model_from_config(model_cfg: CfgNode, reference_compat_shapes: bool = False):
+    """Instantiate a model family from a cfg.models.{coarse,fine} section."""
+    name = model_cfg.type
+    if reference_compat_shapes:
+        # Reproduce the reference's constructor call (train_nerf.py:117-123):
+        # only encoding/viewdir params are passed; sizes use class defaults.
+        kwargs: dict = {}
+        if name == "VeryTinyNeRFModel":
+            kwargs = {"num_encoding_functions": model_cfg.num_encoding_fn_xyz}
+        elif name == "MultiHeadNeRFModel":
+            kwargs = {"num_encoding_functions": model_cfg.num_encoding_fn_xyz}
+        else:
+            kwargs = {
+                "num_encoding_fn_xyz": model_cfg.num_encoding_fn_xyz,
+                "num_encoding_fn_dir": model_cfg.num_encoding_fn_dir,
+                "include_input_xyz": model_cfg.include_input_xyz,
+                "include_input_dir": model_cfg.include_input_dir,
+            }
+            if name in ("PaperNeRFModel", "FlexibleNeRFModel"):
+                kwargs["use_viewdirs"] = model_cfg.use_viewdirs
+        return get_model(name, **kwargs)
+
+    known: dict = {"type": None}
+    candidates = {
+        "num_layers": "num_layers",
+        "hidden_size": "hidden_size",
+        "skip_connect_every": "skip_connect_every",
+        "num_encoding_fn_xyz": "num_encoding_fn_xyz",
+        "num_encoding_fn_dir": "num_encoding_fn_dir",
+        "include_input_xyz": "include_input_xyz",
+        "include_input_dir": "include_input_dir",
+        "use_viewdirs": "use_viewdirs",
+    }
+    import dataclasses
+
+    from ..models import MODEL_REGISTRY
+
+    cls = MODEL_REGISTRY.get(name)
+    if cls is None:
+        raise ValueError(f"Unknown model type {name!r}")
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for cfg_key, field in candidates.items():
+        if cfg_key in model_cfg and field in field_names:
+            kwargs[field] = model_cfg[cfg_key]
+    # families keyed on a single encoding count use the xyz one
+    if "num_encoding_functions" in field_names and "num_encoding_fn_xyz" in model_cfg:
+        kwargs["num_encoding_functions"] = model_cfg["num_encoding_fn_xyz"]
+    if "filter_size" in field_names and "hidden_size" in model_cfg:
+        kwargs["filter_size"] = model_cfg["hidden_size"]
+    return get_model(name, **kwargs)
+
+
+def optimizer_from_config(cfg: CfgNode):
+    """Build the optax optimizer + schedule from cfg.optimizer / cfg.scheduler."""
+    lr_decay = cfg.scheduler.lr_decay if "scheduler" in cfg else None
+    lr_decay_factor = cfg.scheduler.lr_decay_factor if "scheduler" in cfg else None
+    return make_optimizer(
+        cfg.optimizer.type, float(cfg.optimizer.lr), lr_decay, lr_decay_factor
+    )

@@ -1,0 +1,29 @@
+"""Dataset loading (blender / LLFF / synthetic) and device-ready ray stores."""
+
+from .blender import composite_white_background, load_blender_data
+from .llff import load_llff_data
+from .poses import pose_spherical, spherical_render_poses
+from .rays_store import build_ray_store, load_ray_cache, save_ray_cache
+from .synthetic import (
+    SyntheticDataset,
+    analytic_radiance_field,
+    flatten_rays,
+    make_synthetic_dataset,
+    render_analytic_image,
+)
+
+__all__ = [
+    "composite_white_background",
+    "load_blender_data",
+    "load_llff_data",
+    "pose_spherical",
+    "spherical_render_poses",
+    "build_ray_store",
+    "load_ray_cache",
+    "save_ray_cache",
+    "SyntheticDataset",
+    "analytic_radiance_field",
+    "flatten_rays",
+    "make_synthetic_dataset",
+    "render_analytic_image",
+]

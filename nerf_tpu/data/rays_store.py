@@ -1,0 +1,100 @@
+"""Device-resident ray stores + the offline ray-cache format.
+
+Behavioral parity target (reference: krrish94/nerf-pytorch):
+  - ``cache_dataset.py:16-135`` (cache_nerf_dataset) — precompute ray bundles
+    + targets for fast training.
+
+TPU-native redesign: instead of one small ``torch.save`` dict per image per
+variation (with the reference's overwrite bug, cache_dataset.py:112-114 — all
+``num_variations`` files collapse onto one path), the cache is a SINGLE
+``.npz`` of flat, statically-shaped arrays:
+
+    ray_origins (N, 3) | ray_directions (N, 3) | targets (N, 3)  float32
+    + meta (height, width, focal, near, far)
+
+covering every training pixel. That layout uploads to HBM in one transfer,
+shards cleanly over a device mesh, and lets the jitted train step gather ray
+batches on-device (engine.train.sample_ray_batch) with zero per-step host
+work — the whole point of caching. Validation images are stored separately
+with their poses so full-image validation can regenerate per-view bundles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rays import get_ray_bundle
+
+
+def build_ray_store(
+    images: np.ndarray,
+    poses: np.ndarray,
+    height: int,
+    width: int,
+    focal: float,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand (N,H,W,3) images + (N,4,4)/(N,3,4+) poses into flat ray arrays.
+
+    Returns (ray_origins, ray_directions, targets), each (N*H*W, 3) float32.
+    """
+    origins, directions, targets = [], [], []
+    for img, pose in zip(images, poses):
+        c2w = jnp.asarray(pose[:3, :4], jnp.float32)
+        ro, rd = get_ray_bundle(height, width, focal, c2w)
+        origins.append(np.asarray(ro).reshape(-1, 3))
+        directions.append(np.asarray(rd).reshape(-1, 3))
+        targets.append(np.asarray(img[..., :3], np.float32).reshape(-1, 3))
+    return (
+        np.concatenate(origins).astype(np.float32),
+        np.concatenate(directions).astype(np.float32),
+        np.concatenate(targets).astype(np.float32),
+    )
+
+
+def save_ray_cache(
+    path: str,
+    ray_origins: np.ndarray,
+    ray_directions: np.ndarray,
+    targets: np.ndarray,
+    meta: Dict,
+    val_images: Optional[np.ndarray] = None,
+    val_poses: Optional[np.ndarray] = None,
+) -> None:
+    """Write the single-file ray cache (.npz + json-encoded meta)."""
+    arrays = {
+        "ray_origins": ray_origins.astype(np.float32),
+        "ray_directions": ray_directions.astype(np.float32),
+        "targets": targets.astype(np.float32),
+        "meta_json": np.frombuffer(
+            json.dumps(meta, sort_keys=True).encode(), dtype=np.uint8
+        ),
+    }
+    if val_images is not None:
+        arrays["val_images"] = val_images.astype(np.float32)
+        arrays["val_poses"] = val_poses.astype(np.float32)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    # np.savez appends .npz to the temp name it opens; normalize.
+    os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
+
+
+def load_ray_cache(path: str):
+    """Load a ray cache. Returns (ray_origins, ray_directions, targets, meta, extras)."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta_json"]).decode())
+        extras = {}
+        if "val_images" in data:
+            extras["val_images"] = data["val_images"]
+            extras["val_poses"] = data["val_poses"]
+        return (
+            data["ray_origins"],
+            data["ray_directions"],
+            data["targets"],
+            meta,
+            extras,
+        )

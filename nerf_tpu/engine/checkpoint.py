@@ -145,12 +145,25 @@ def export_reference_checkpoint(
 # Native checkpoints (no torch dependency)
 # ---------------------------------------------------------------------------
 
+def _tuples_to_lists(tree: Any) -> Any:
+    """Recursively convert (named)tuples to lists so msgpack accepts the tree.
+
+    Leaf order is preserved, so restoring with a structure template +
+    jax.tree.leaves round-trips exactly (see train_nerf.py resume path).
+    """
+    if isinstance(tree, dict):
+        return {k: _tuples_to_lists(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_tuples_to_lists(v) for v in tree]
+    return tree
+
+
 def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     """Serialize an arbitrary pytree-of-arrays dict with flax msgpack."""
     from flax import serialization
 
     state = jax.tree.map(np.asarray, jax.device_get(state))
-    data = serialization.msgpack_serialize(state)
+    data = serialization.msgpack_serialize(_tuples_to_lists(state))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)

@@ -1,0 +1,298 @@
+"""Hierarchical coarse→fine NeRF rendering engine.
+
+Behavioral parity target (reference: krrish94/nerf-pytorch):
+  - ``predict_and_render_radiance`` -> nerf/train_utils.py:28-127
+  - ``run_one_iter_of_nerf``        -> nerf/train_utils.py:130-202
+  - ``run_network``                 -> nerf/train_utils.py:8-25
+
+TPU-native design (inverts the reference's eager-mode architecture):
+  * ONE statically-shaped, jit-compiled function per (models, settings)
+    combination, built by the ``make_*`` factories below. The reference's
+    two nested Python chunking loops (ray chunks train_utils.py:170, point
+    chunks :19) become: no chunking at all for training batches (they fit),
+    and a ``lax.map`` over fixed-size ray megabatches for full-image
+    rendering — compiled once, executed as a device-side loop with zero
+    host round trips.
+  * RNG is threaded explicitly: one key per step, split into
+    (perturb, coarse-noise, fine-noise), replacing torch's global RNG.
+  * The fine-pass depth samples are ``stop_gradient``-ed exactly like the
+    reference's ``z_samples.detach()`` (train_utils.py:103).
+
+Reference quirk note: ``run_one_iter_of_nerf`` calls
+``predict_and_render_radiance`` WITHOUT forwarding ``mode`` (train_utils.py:
+171-181), so reference validation renders silently use the *train* section's
+sampling settings for everything except chunksize. We do the correct thing
+(each mode uses its own settings); for the shipped configs the sections only
+differ in num_random_rays/chunksize, so numerics are unaffected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.encoding import positional_encoding
+from ..ops.rays import ndc_rays
+from ..ops.sampling import coarse_z_values, perturb_z_values, sample_pdf
+from ..ops.volume import RenderOutputs, volume_render_radiance_field
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (hashable) per-mode render configuration.
+
+    Mirrors the reference's ``cfg.nerf.{train,validation}`` section plus the
+    dataset/encoding fields the render path needs (SURVEY.md §5 config schema).
+    """
+
+    num_coarse: int = 64
+    num_fine: int = 64
+    chunksize: int = 16384
+    perturb: bool = True
+    radiance_field_noise_std: float = 0.0
+    white_background: bool = False
+    lindisp: bool = False
+    near: float = 2.0
+    far: float = 6.0
+    use_viewdirs: bool = True
+    use_ndc: bool = False
+    # NDC needs the camera intrinsics (reference train_utils.py:158).
+    height: int = 0
+    width: int = 0
+    focal_length: float = 0.0
+    # Positional-encoding config (reference train_nerf.py:102-114).
+    num_encoding_fn_xyz: int = 6
+    num_encoding_fn_dir: int = 4
+    include_input_xyz: bool = True
+    include_input_dir: bool = True
+    log_sampling_xyz: bool = True
+    log_sampling_dir: bool = True
+
+    def eval_variant(self) -> "RenderSettings":
+        """Deterministic copy for validation/eval rendering."""
+        return dataclasses.replace(
+            self, perturb=False, radiance_field_noise_std=0.0
+        )
+
+
+class RayRenderResult(NamedTuple):
+    """Coarse + (optional) fine composited maps for a ray batch."""
+
+    coarse: RenderOutputs
+    fine: Optional[RenderOutputs]
+
+    @property
+    def rgb(self) -> jnp.ndarray:
+        """The displayable map: fine if present, else coarse (eval_nerf.py:178)."""
+        return self.fine.rgb if self.fine is not None else self.coarse.rgb
+
+
+def encode_points(
+    pts: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    s: RenderSettings,
+) -> jnp.ndarray:
+    """Positional-encode sample points (+ broadcast encoded viewdirs).
+
+    Equivalent of the reference's ``run_network`` embedding block
+    (train_utils.py:10-17), fused into the jitted graph.
+
+    pts: (..., S, 3); viewdirs: (..., 3) or None. Returns (..., S, D).
+    """
+    enc = positional_encoding(
+        pts, s.num_encoding_fn_xyz, s.include_input_xyz, s.log_sampling_xyz
+    )
+    if viewdirs is not None:
+        enc_dir = positional_encoding(
+            viewdirs, s.num_encoding_fn_dir, s.include_input_dir, s.log_sampling_dir
+        )
+        enc_dir = jnp.broadcast_to(
+            enc_dir[..., None, :], pts.shape[:-1] + (enc_dir.shape[-1],)
+        )
+        enc = jnp.concatenate([enc, enc_dir], axis=-1)
+    return enc
+
+
+def render_rays(
+    model_coarse,
+    params_coarse: Params,
+    model_fine,
+    params_fine: Optional[Params],
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    settings: RenderSettings,
+    key: Optional[jax.Array] = None,
+) -> RayRenderResult:
+    """Render a flat batch of rays through the coarse→fine hierarchy.
+
+    ray_origins/ray_directions: (N, 3). Pure function of its inputs; jit-safe
+    with ``settings`` static. Reference: predict_and_render_radiance
+    (train_utils.py:28-127) + the ray-packing prologue of run_one_iter_of_nerf
+    (train_utils.py:143-168).
+    """
+    s = settings
+    needs_rng = s.perturb or s.radiance_field_noise_std > 0.0
+    if needs_rng and key is None:
+        raise ValueError("render_rays needs a PRNG key when perturb/noise is on")
+    if key is not None:
+        k_perturb, k_noise_c, k_fine, k_noise_f = jax.random.split(key, 4)
+    else:
+        k_perturb = k_noise_c = k_fine = k_noise_f = None
+
+    viewdirs = None
+    if s.use_viewdirs:
+        viewdirs = ray_directions / jnp.linalg.norm(
+            ray_directions, axis=-1, keepdims=True
+        )
+
+    if s.use_ndc:
+        ro, rd = ndc_rays(
+            s.height, s.width, s.focal_length, 1.0, ray_origins, ray_directions
+        )
+    else:
+        ro, rd = ray_origins, ray_directions
+
+    num_rays = ro.shape[0]
+    near = jnp.full((num_rays,), s.near, dtype=ro.dtype)
+    far = jnp.full((num_rays,), s.far, dtype=ro.dtype)
+
+    z_vals = coarse_z_values(near, far, s.num_coarse, s.lindisp, dtype=ro.dtype)
+    if s.perturb:
+        z_vals = perturb_z_values(k_perturb, z_vals)
+
+    pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
+    rf_coarse = model_coarse.apply(params_coarse, encode_points(pts, viewdirs, s))
+    coarse = volume_render_radiance_field(
+        rf_coarse,
+        z_vals,
+        rd,
+        radiance_field_noise_std=s.radiance_field_noise_std,
+        white_background=s.white_background,
+        noise_key=k_noise_c,
+    )
+
+    fine = None
+    if s.num_fine > 0:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            z_mid,
+            coarse.weights[..., 1:-1],
+            s.num_fine,
+            key=k_fine,
+            det=not s.perturb,
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        pts = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
+        fine_params = params_fine if params_fine is not None else params_coarse
+        fine_model = model_fine if model_fine is not None else model_coarse
+        rf_fine = fine_model.apply(fine_params, encode_points(pts, viewdirs, s))
+        fine = volume_render_radiance_field(
+            rf_fine,
+            z_all,
+            rd,
+            radiance_field_noise_std=s.radiance_field_noise_std,
+            white_background=s.white_background,
+            noise_key=k_noise_f,
+        )
+
+    return RayRenderResult(coarse, fine)
+
+
+def make_render_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    jit: bool = True,
+) -> Callable[..., RayRenderResult]:
+    """Build ``render(params_coarse, params_fine, ro, rd, key) -> RayRenderResult``
+    with models/settings closed over statically."""
+
+    def render(params_coarse, params_fine, ray_origins, ray_directions, key=None):
+        return render_rays(
+            model_coarse,
+            params_coarse,
+            model_fine,
+            params_fine,
+            ray_origins,
+            ray_directions,
+            settings,
+            key,
+        )
+
+    return jax.jit(render) if jit else render
+
+
+def _pad_to_multiple(x: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
+    n = x.shape[0]
+    padded = (n + multiple - 1) // multiple * multiple
+    if padded != n:
+        pad_width = [(0, padded - n)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad_width, mode="edge")
+    return x, n
+
+
+def make_image_render_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    jit: bool = True,
+) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Full-image renderer: chunked device-side ``lax.map`` over ray megabatches.
+
+    Returns ``render_image(params_coarse, params_fine, ray_origins,
+    ray_directions, key=None) -> dict`` with (H, W[,3])-shaped
+    rgb/disp/acc maps for coarse and fine. This replaces the reference's
+    host-side chunk loop + concat + reshape (train_utils.py:170-200) with a
+    single compiled program; chunk size is ``settings.chunksize`` rays.
+    """
+    s = settings
+
+    def render_image(params_coarse, params_fine, ray_origins, ray_directions, key=None):
+        h, w = ray_origins.shape[0], ray_origins.shape[1]
+        ro = ray_origins.reshape(-1, 3)
+        rd = ray_directions.reshape(-1, 3)
+        chunk = min(s.chunksize, ro.shape[0])
+        ro, n = _pad_to_multiple(ro, chunk)
+        rd, _ = _pad_to_multiple(rd, chunk)
+        num_chunks = ro.shape[0] // chunk
+        ro = ro.reshape(num_chunks, chunk, 3)
+        rd = rd.reshape(num_chunks, chunk, 3)
+        if key is not None:
+            keys = jax.random.split(key, num_chunks)
+        else:
+            keys = jnp.zeros((num_chunks, 2), dtype=jnp.uint32)
+
+        def render_chunk(args):
+            ro_c, rd_c, key_c = args
+            k = key_c if key is not None else None
+            out = render_rays(
+                model_coarse, params_coarse, model_fine, params_fine,
+                ro_c, rd_c, s, k,
+            )
+            res = {
+                "rgb_coarse": out.coarse.rgb,
+                "disp_coarse": out.coarse.disp,
+                "acc_coarse": out.coarse.acc,
+            }
+            if out.fine is not None:
+                res.update(
+                    rgb_fine=out.fine.rgb,
+                    disp_fine=out.fine.disp,
+                    acc_fine=out.fine.acc,
+                )
+            return res
+
+        maps = jax.lax.map(render_chunk, (ro, rd, keys))
+        result = {}
+        for name, val in maps.items():
+            flat = val.reshape((num_chunks * chunk,) + val.shape[2:])[:n]
+            result[name] = flat.reshape((h, w) + val.shape[2:])
+        return result
+
+    return jax.jit(render_image) if jit else render_image

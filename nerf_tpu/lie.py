@@ -1,0 +1,156 @@
+"""SO(3) / SE(3) Lie-group operations for pose optimization.
+
+Behavioral parity target (reference: krrish94/nerf-pytorch, lieutils.py —
+799 lines of dead code, imported nowhere, with hand-written autograd
+Functions for exp/log maps and a ``torh.sign`` typo at :553). Rebuilt as a
+compact, *working* JAX module: hat/vee, Exp/Log for SO(3) and SE(3), with the
+same small-angle Taylor switching the reference implements via helper classes
+(lieutils.py:58-345). Gradients come from JAX autodiff over the
+numerically-stabilized closed forms — the ``jnp.where``-guarded Taylor
+branches keep both primal and tangent values finite at theta -> 0, replacing
+the reference's hand-written backward passes.
+
+All functions are jit/vmap/grad-safe and operate on (..., 3[, 3]) batches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+_TAYLOR_THRESHOLD = 1e-4
+
+
+def _safe_theta(omega: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(omega * omega, axis=-1) + _EPS * _EPS)
+
+
+def so3_hat(omega: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) axis-angle vector -> (..., 3, 3) skew matrix (lieutils.py SO3.hat)."""
+    wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
+    zeros = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -wz, wy], -1),
+            jnp.stack([wz, zeros, -wx], -1),
+            jnp.stack([-wy, wx, zeros], -1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_vee(Omega: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) skew matrix -> (..., 3) vector (lieutils.py SO3.vee)."""
+    return jnp.stack(
+        [Omega[..., 2, 1], Omega[..., 0, 2], Omega[..., 1, 0]], axis=-1
+    )
+
+
+def _sin_theta_by_theta(theta: jnp.ndarray) -> jnp.ndarray:
+    """sin(theta)/theta with Taylor fallback (lieutils.py:347-420 analog)."""
+    small = theta < _TAYLOR_THRESHOLD
+    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    exact = jnp.sin(theta_safe) / theta_safe
+    taylor = 1.0 - theta ** 2 / 6.0
+    return jnp.where(small, taylor, exact)
+
+
+def _one_minus_cos_by_theta_sq(theta: jnp.ndarray) -> jnp.ndarray:
+    """(1 - cos(theta)) / theta^2 with Taylor fallback."""
+    small = theta < _TAYLOR_THRESHOLD
+    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    exact = (1.0 - jnp.cos(theta_safe)) / (theta_safe ** 2)
+    taylor = 0.5 - theta ** 2 / 24.0
+    return jnp.where(small, taylor, exact)
+
+
+def _theta_minus_sin_by_theta_cubed(theta: jnp.ndarray) -> jnp.ndarray:
+    """(theta - sin(theta)) / theta^3 with Taylor fallback."""
+    small = theta < _TAYLOR_THRESHOLD
+    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    exact = (theta_safe - jnp.sin(theta_safe)) / (theta_safe ** 3)
+    taylor = 1.0 / 6.0 - theta ** 2 / 120.0
+    return jnp.where(small, taylor, exact)
+
+
+def so3_exp(omega: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues' formula: axis-angle (..., 3) -> rotation matrix (..., 3, 3).
+
+    Reference lieutils.py SO3.Exp / SO3Exp_Function (:466-606).
+    """
+    theta = _safe_theta(omega)[..., None, None]
+    K = so3_hat(omega)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    return (
+        eye
+        + _sin_theta_by_theta(theta) * K
+        + _one_minus_cos_by_theta_sq(theta) * (K @ K)
+    )
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (lieutils.py SO3.Log)."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + _EPS, 1.0 - _EPS)
+    theta = jnp.arccos(cos_theta)
+    # vee of the antisymmetric part, scaled by theta / (2 sin theta)
+    antisym = 0.5 * (R - jnp.swapaxes(R, -1, -2))
+    scale_theta = theta[..., None] / jnp.where(
+        theta[..., None] < _TAYLOR_THRESHOLD,
+        jnp.ones_like(theta[..., None]),
+        jnp.sin(theta[..., None]),
+    )
+    scale = jnp.where(
+        theta[..., None] < _TAYLOR_THRESHOLD,
+        1.0 + theta[..., None] ** 2 / 6.0,
+        scale_theta,
+    )
+    return so3_vee(antisym) * scale
+
+
+def se3_hat(xi: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) twist [v, omega] -> (..., 4, 4) matrix (lieutils.py SE3.hat)."""
+    v, omega = xi[..., :3], xi[..., 3:]
+    top = jnp.concatenate([so3_hat(omega), v[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :])
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_vee(Xi: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) -> (..., 6) twist (lieutils.py SE3.vee)."""
+    return jnp.concatenate([Xi[..., :3, 3], so3_vee(Xi[..., :3, :3])], axis=-1)
+
+
+def _left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) left Jacobian J_l (used by SE3 Exp; lieutils.py SE3Exp_Function)."""
+    theta = _safe_theta(omega)[..., None, None]
+    K = so3_hat(omega)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    return (
+        eye
+        + _one_minus_cos_by_theta_sq(theta) * K
+        + _theta_minus_sin_by_theta_cubed(theta) * (K @ K)
+    )
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """Twist (..., 6) [v, omega] -> rigid transform (..., 4, 4).
+
+    Reference lieutils.py SE3.Exp / SE3Exp_Function (:607-799).
+    """
+    v, omega = xi[..., :3], xi[..., 3:]
+    R = so3_exp(omega)
+    t = (_left_jacobian(omega) @ v[..., :, None])[..., 0]
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """Rigid transform (..., 4, 4) -> twist (..., 6) [v, omega]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    omega = so3_log(R)
+    J = _left_jacobian(omega)
+    v = jnp.linalg.solve(J, t[..., :, None])[..., 0]
+    return jnp.concatenate([v, omega], axis=-1)

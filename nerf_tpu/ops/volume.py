@@ -84,8 +84,12 @@ def volume_render_radiance_field(
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * depth_values, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
+    # The reference divides by acc directly (volume_rendering_utils.py:48),
+    # which yields NaN disparity for fully-transparent rays (acc == 0); we
+    # guard the denominator so empty rays give finite (1e10) disparity.
     disp_map = 1.0 / jnp.maximum(
-        jnp.full_like(depth_map, 1e-10), depth_map / acc_map
+        jnp.full_like(depth_map, 1e-10),
+        depth_map / jnp.maximum(acc_map, 1e-10),
     )
 
     if white_background:

@@ -1,0 +1,24 @@
+"""Device-mesh parallelism: ray/data-parallel training + rendering."""
+
+from .dp import make_parallel_render_fn, make_parallel_train_step
+from .mesh import (
+    DATA_AXIS,
+    data_sharding,
+    make_mesh,
+    pad_to_devices,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "data_sharding",
+    "make_mesh",
+    "pad_to_devices",
+    "replicate_tree",
+    "replicated",
+    "shard_batch",
+    "make_parallel_render_fn",
+    "make_parallel_train_step",
+]

@@ -1,0 +1,131 @@
+"""Data-parallel (ray-parallel) training and rendering over a device mesh.
+
+TPU-native scale-out (the reference has none — SURVEY.md §2): rays are
+sharded across the mesh's "data" axis with ``jax.shard_map``; parameters and
+optimizer state are replicated. Each device renders/backprops its ray shard,
+gradients and scalar metrics are reduced with ``lax.pmean`` over ICI, and the
+(replicated) optimizer update is applied identically everywhere — classic
+DP with XLA collectives instead of NCCL allreduce.
+
+Full-image rendering shards the pixel rays the same way; the out_spec
+re-concatenates shards into the image, i.e. the all-gather is expressed by
+the sharding system rather than hand-written collectives.
+
+RNG: each shard folds ``lax.axis_index("data")`` into the step key so
+stratified jitter / sigma noise differ across shards but stay reproducible.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..engine.renderer import RenderSettings, render_rays
+from ..engine.train import StepMetrics, TrainState
+from ..ops.math import img2mse, mse2psnr
+from .mesh import DATA_AXIS
+
+
+def make_parallel_train_step(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array],
+              Tuple[TrainState, StepMetrics]]:
+    """Build the sharded training step.
+
+    step(state, ro (B,3), rd (B,3), target (B,3), key) -> (state, metrics)
+    with B divisible by the mesh's data-axis size. State is replicated;
+    ray arrays are sharded on axis 0.
+    """
+
+    def loss_fn(trainable, ro, rd, target, key):
+        out = render_rays(
+            model_coarse, trainable["coarse"],
+            model_fine, trainable["fine"],
+            ro, rd, settings, key,
+        )
+        coarse_loss = img2mse(out.coarse.rgb, target)
+        fine_loss = (
+            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
+        )
+        return coarse_loss + fine_loss, (coarse_loss, fine_loss)
+
+    def shard_step(state: TrainState, ro, rd, target, key):
+        # Distinct per-shard randomness, deterministic in (key, shard index).
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        trainable = {"coarse": state.params_coarse, "fine": state.params_fine}
+        (loss, (closs, floss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, ro, rd, target, key
+        )
+        # The DP allreduce: mean over the ray shards via ICI.
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        closs = jax.lax.pmean(closs, axis)
+        floss = jax.lax.pmean(floss, axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        new_state = TrainState(
+            state.step + 1, trainable["coarse"], trainable["fine"], opt_state
+        )
+        return new_state, StepMetrics(loss, closs, floss, mse2psnr(loss))
+
+    sharded = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_parallel_render_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+):
+    """Sharded flat-ray renderer: rays split over the mesh, outputs re-assembled.
+
+    render(params_coarse, params_fine, ro (N,3), rd (N,3)) -> rgb maps dict.
+    N must be divisible by the data-axis size (use parallel.mesh.pad_to_devices).
+    Deterministic (eval) settings — for validation/eval rendering.
+    """
+    eval_settings = settings.eval_variant()
+
+    def shard_render(params_coarse, params_fine, ro, rd):
+        out = render_rays(
+            model_coarse, params_coarse, model_fine, params_fine,
+            ro, rd, eval_settings, None,
+        )
+        res = {
+            "rgb_coarse": out.coarse.rgb,
+            "disp_coarse": out.coarse.disp,
+            "acc_coarse": out.coarse.acc,
+        }
+        if out.fine is not None:
+            res.update(
+                rgb_fine=out.fine.rgb,
+                disp_fine=out.fine.disp,
+                acc_fine=out.fine.acc,
+            )
+        return res
+
+    sharded = jax.shard_map(
+        shard_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

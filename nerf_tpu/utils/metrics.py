@@ -1,0 +1,109 @@
+"""Quality metrics + running trackers.
+
+Rebuilds nerf/metrics.py — which in the reference is dead, broken code
+(``reset`` corrupts ``value`` to a list, ``peek`` takes a spurious arg;
+SURVEY.md §2.8) — as a working module, and adds the PSNR/SSIM evaluation
+metrics the reference computes ad hoc (mse2psnr over combined loss,
+train_nerf.py:258-260).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.math import img2mse, mse2psnr
+
+
+class ScalarMetric:
+    """Running average of a scalar (fixed rebuild of nerf/metrics.py:6-28)."""
+
+    def __init__(self, initial_value: Optional[float] = None):
+        self.value = 0.0
+        self.count = 0
+        if initial_value is not None:
+            self.update(initial_value)
+
+    def update(self, new_value: float) -> None:
+        self.value += float(new_value)
+        self.count += 1
+
+    def reset(self) -> None:
+        self.value = 0.0
+        self.count = 0
+
+    def peek(self) -> float:
+        """Current running average (0 if nothing recorded)."""
+        return self.value / self.count if self.count > 0 else 0.0
+
+    def __repr__(self) -> str:
+        return f"ScalarMetric(avg={self.peek():.6g}, n={self.count})"
+
+
+def psnr(img_src, img_tgt, max_val: float = 1.0) -> float:
+    """Peak signal-to-noise ratio between two images in [0, max_val]."""
+    mse = img2mse(jnp.asarray(img_src) / max_val, jnp.asarray(img_tgt) / max_val)
+    return float(mse2psnr(mse))
+
+
+def ssim(
+    img_src,
+    img_tgt,
+    max_val: float = 1.0,
+    filter_size: int = 11,
+    filter_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> float:
+    """Structural similarity (mean over channels), Gaussian-windowed.
+
+    Standard Wang et al. formulation over (H, W, C) float images.
+    """
+    a = np.asarray(img_src, np.float64) / max_val
+    b = np.asarray(img_tgt, np.float64) / max_val
+    if a.ndim == 2:
+        a = a[..., None]
+        b = b[..., None]
+
+    hw = filter_size // 2
+    offsets = np.arange(-hw, hw + 1)
+    g = np.exp(-(offsets ** 2) / (2.0 * filter_sigma ** 2))
+    g = g / g.sum()
+
+    def filt(x):
+        # separable Gaussian blur over H and W with edge truncation
+        from scipy.ndimage import convolve1d  # noqa: PLC0415
+
+        y = convolve1d(x, g, axis=0, mode="nearest")
+        return convolve1d(y, g, axis=1, mode="nearest")
+
+    try:
+        mu_a = filt(a)
+        mu_b = filt(b)
+        var_a = filt(a * a) - mu_a * mu_a
+        var_b = filt(b * b) - mu_b * mu_b
+        cov = filt(a * b) - mu_a * mu_b
+    except ImportError:
+        # numpy-only fallback: valid-region box filtering via cumsum
+        def box(x):
+            k = filter_size
+            c = np.cumsum(np.cumsum(x, axis=0), axis=1)
+            c = np.pad(c, ((1, 0), (1, 0)) + ((0, 0),) * (x.ndim - 2))
+            out = (
+                c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+            ) / (k * k)
+            return out
+
+        mu_a = box(a)
+        mu_b = box(b)
+        var_a = box(a * a) - mu_a * mu_a
+        var_b = box(b * b) - mu_b * mu_b
+        cov = box(a * b) - mu_a * mu_b
+
+    c1 = (k1 ** 2)
+    c2 = (k2 ** 2)
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)
+    return float(np.mean(num / den))

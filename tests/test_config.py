@@ -1,0 +1,121 @@
+"""Config system tests: CfgNode semantics + loading the REFERENCE's own YAML
+files (API-compatibility check) + builder functions."""
+
+import pytest
+import yaml
+
+from nerf_tpu.config import (
+    CfgNode,
+    get_default_config,
+    load_config,
+    model_from_config,
+    optimizer_from_config,
+    render_settings_from_config,
+)
+
+REF_LEGO = "/root/reference/config/lego.yml"
+REF_FERN = "/root/reference/config/fern.yml"
+
+
+def test_attribute_access_and_nesting():
+    cfg = CfgNode({"a": {"b": {"c": 1}}, "d": "x"})
+    assert cfg.a.b.c == 1
+    assert cfg.d == "x"
+    cfg.a.b.c = 2
+    assert cfg["a"]["b"]["c"] == 2
+
+
+def test_freeze_defrost():
+    cfg = CfgNode({"a": {"b": 1}})
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.a.b = 5
+    cfg.defrost()
+    cfg.a.b = 5
+    assert cfg.a.b == 5
+
+
+def test_merge_type_coercion():
+    cfg = CfgNode({"lr": 1.0, "n": 5, "name": "x", "tags": [1, 2]})
+    other = CfgNode({"lr": 2, "tags": (3, 4)})  # int->float, tuple->list
+    cfg.merge_from_other_cfg(other)
+    assert cfg.lr == 2.0 and isinstance(cfg.lr, float)
+    assert cfg.tags == [3, 4]
+    with pytest.raises(ValueError):
+        cfg.merge_from_other_cfg(CfgNode({"name": 3}))
+
+
+def test_merge_rejects_unknown_keys_unless_allowed():
+    cfg = CfgNode({"a": 1})
+    with pytest.raises(KeyError):
+        cfg.merge_from_other_cfg(CfgNode({"zzz": 1}))
+    cfg.set_new_allowed(True)
+    cfg.merge_from_other_cfg(CfgNode({"zzz": 1}))
+    assert cfg.zzz == 1
+
+
+def test_merge_from_list():
+    cfg = CfgNode({"optimizer": {"lr": 5e-3, "type": "Adam"}})
+    cfg.merge_from_list(["optimizer.lr", "1e-4", "optimizer.type", "SGD"])
+    assert cfg.optimizer.lr == 1e-4
+    assert cfg.optimizer.type == "SGD"
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["nope.x", "1"])
+
+
+def test_dump_roundtrip():
+    cfg = CfgNode({"a": {"b": 1}, "c": [1, 2]})
+    loaded = yaml.safe_load(cfg.dump())
+    assert loaded == {"a": {"b": 1}, "c": [1, 2]}
+
+
+def test_reference_lego_config_loads():
+    """The reference's own YAML files must load over our defaults unchanged."""
+    cfg = load_config(REF_LEGO)
+    assert cfg.dataset.type == "blender"
+    assert cfg.nerf.train.num_random_rays == 1024
+    assert cfg.nerf.train.chunksize == 131072
+    assert cfg.models.coarse.num_encoding_fn_xyz == 10
+    assert cfg.scheduler.lr_decay == 250
+    s = render_settings_from_config(cfg, "train")
+    assert s.num_coarse == 64 and s.num_fine == 64
+    assert s.perturb is True and s.use_ndc is False
+    assert s.near == 2.0 and s.far == 6.0
+    assert s.radiance_field_noise_std == 0.2
+    v = render_settings_from_config(cfg, "validation")
+    assert v.perturb is False and v.radiance_field_noise_std == 0.0
+
+
+def test_reference_fern_config_loads_ndc():
+    cfg = load_config(REF_FERN)
+    assert cfg.dataset.type == "llff"
+    assert not cfg.dataset.no_ndc
+    s = render_settings_from_config(cfg, "train", hwf=(378, 504, 407.0))
+    assert s.use_ndc is True
+    assert s.num_fine == 128
+    assert s.height == 378 and s.width == 504
+    with pytest.raises(ValueError):
+        render_settings_from_config(cfg, "train")  # NDC without hwf
+
+
+def test_model_from_config_sizes_take_effect():
+    cfg = load_config(REF_LEGO)
+    m = model_from_config(cfg.models.coarse)
+    # lego.yml says 8 layers / 128 hidden — honored in the rebuild
+    assert m.num_layers == 8 and m.hidden_size == 128
+    ref = model_from_config(cfg.models.coarse, reference_compat_shapes=True)
+    # reference-compat: class defaults (4 layers) as all pretrained ckpts have
+    assert ref.num_layers == 4 and ref.hidden_size == 128
+    assert ref.num_encoding_fn_xyz == 10  # encoding params ARE passed through
+
+
+def test_optimizer_from_config():
+    cfg = load_config(REF_LEGO)
+    opt = optimizer_from_config(cfg)
+    assert opt is not None
+
+
+def test_default_config_complete():
+    cfg = get_default_config()
+    for section in ["experiment", "dataset", "models", "optimizer", "scheduler", "nerf"]:
+        assert section in cfg

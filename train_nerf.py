@@ -1,0 +1,335 @@
+#!/usr/bin/env python3
+"""Train a NeRF (TPU-native CLI).
+
+Behavioral parity target (reference: krrish94/nerf-pytorch train_nerf.py:18-390):
+same config schema, dataset handling, coarse+fine optimization, metric tags,
+and checkpoint cadence — redesigned for TPU:
+
+  * the WHOLE training step (on-device ray-batch gather -> hierarchical
+    render -> loss -> backward -> Adam + LR decay) is one jit-compiled
+    program; the host loop only feeds PRNG keys and reads metrics
+    (the reference does host-side numpy ray selection + per-iter .to(device)
+    transfers, train_nerf.py:210-226)
+  * all training rays live in HBM as one flat ray store (data.rays_store)
+  * multi-device: with >1 device the step runs data-parallel over an ICI
+    mesh via shard_map (nerf_tpu.parallel) — the reference is single-GPU only
+  * validation renders full images with a chunked lax.map pipeline
+
+Usage:
+  python train_nerf.py --config configs/lego_lowres.yml [--load-checkpoint ckpt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.config import (
+    load_config,
+    model_from_config,
+    optimizer_from_config,
+    render_settings_from_config,
+)
+from nerf_tpu.data import (
+    build_ray_store,
+    composite_white_background,
+    flatten_rays,
+    load_blender_data,
+    load_llff_data,
+    load_ray_cache,
+    make_synthetic_dataset,
+)
+from nerf_tpu.engine.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from nerf_tpu.engine.renderer import make_image_render_fn
+from nerf_tpu.engine.train import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    sample_ray_batch,
+)
+from nerf_tpu.ops import get_ray_bundle, img2mse, mse2psnr
+from nerf_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    pad_to_devices,
+    replicate_tree,
+    shard_batch,
+)
+from nerf_tpu.utils import MetricWriter, RateMeter
+
+
+def load_dataset(cfg):
+    """Load images/poses per cfg.dataset; returns a dict of host arrays.
+
+    Mirrors reference train_nerf.py:46-89 (cachedir probe, blender/llff
+    branches, white-background compositing at load, llffhold split).
+    """
+    ds = cfg.dataset
+    if getattr(ds, "cachedir", None):
+        cache_path = ds.cachedir
+        if os.path.isdir(cache_path):
+            cache_path = os.path.join(cache_path, "rays.npz")
+        ro, rd, targets, meta, extras = load_ray_cache(cache_path)
+        return {
+            "mode": "cached",
+            "rays": (ro, rd, targets),
+            "hwf": (meta["height"], meta["width"], meta["focal"]),
+            "near": meta.get("near", ds.near),
+            "far": meta.get("far", ds.far),
+            "val_images": extras.get("val_images"),
+            "val_poses": extras.get("val_poses"),
+        }
+
+    if ds.type == "blender":
+        images, poses, render_poses, hwf, i_split = load_blender_data(
+            ds.basedir, half_res=ds.half_res, testskip=ds.testskip
+        )
+        i_train, i_val, _ = i_split
+        # White-background compositing at load (reference train_nerf.py:65-66).
+        images = composite_white_background(images)
+        h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+        return {
+            "mode": "live",
+            "images": images,
+            "poses": poses[:, :3, :4],
+            "i_train": i_train,
+            "i_val": i_val,
+            "hwf": (h, w, focal),
+            "near": ds.near,
+            "far": ds.far,
+        }
+
+    if ds.type == "llff":
+        images, poses, bds, render_poses, i_test = load_llff_data(
+            ds.basedir, factor=getattr(ds, "downsample_factor", 8)
+        )
+        hwf = poses[0, :3, -1]
+        poses = poses[:, :3, :4]
+        llffhold = getattr(ds, "llffhold", 8)
+        if llffhold > 0:
+            i_test = np.arange(images.shape[0])[::llffhold]
+        else:
+            i_test = np.array([i_test])
+        i_val = i_test
+        i_train = np.array(
+            [i for i in np.arange(images.shape[0]) if i not in i_test and i not in i_val]
+        )
+        return {
+            "mode": "live",
+            "images": images,
+            "poses": poses,
+            "i_train": i_train,
+            "i_val": i_val,
+            "hwf": (int(hwf[0]), int(hwf[1]), float(hwf[2])),
+            "near": ds.near,
+            "far": ds.far,
+        }
+
+    if ds.type == "synthetic":
+        # Procedural scene (no downloads needed) — see nerf_tpu.data.synthetic.
+        n_views = getattr(ds, "num_views", 20)
+        size = getattr(ds, "image_size", 64)
+        dataset = make_synthetic_dataset(num_views=n_views, height=size, width=size)
+        ro, rd, targets = flatten_rays(dataset)
+        return {
+            "mode": "cached",
+            "rays": (ro, rd, targets),
+            "hwf": dataset.hwf,
+            "near": dataset.near,
+            "far": dataset.far,
+            "val_images": dataset.images[:2],
+            "val_poses": dataset.poses[:2],
+        }
+
+    raise ValueError(f"Unknown dataset type {ds.type!r}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True, help="Path to YAML config.")
+    parser.add_argument(
+        "--load-checkpoint", type=str, default="", help="Checkpoint to resume from."
+    )
+    parser.add_argument(
+        "--overrides", type=str, nargs="*", default=None,
+        help="Dotted-key value pairs, e.g. optimizer.lr 1e-3",
+    )
+    args = parser.parse_args()
+
+    cfg = load_config(args.config, args.overrides)
+    key = jax.random.PRNGKey(int(cfg.experiment.randomseed))
+
+    data = load_dataset(cfg)
+    h, w, focal = data["hwf"]
+    cfg.defrost() if cfg.is_frozen() else None
+    cfg.dataset.near = float(data["near"])
+    cfg.dataset.far = float(data["far"])
+
+    # Flatten training views into the device-resident ray store.
+    if data["mode"] == "cached":
+        ro_store, rd_store, target_store = data["rays"]
+        val_images, val_poses = data.get("val_images"), data.get("val_poses")
+    else:
+        tr = data["i_train"]
+        ro_store, rd_store, target_store = build_ray_store(
+            data["images"][tr], data["poses"][tr], h, w, focal
+        )
+        val_images = data["images"][data["i_val"][:1]]
+        val_poses = data["poses"][data["i_val"][:1]]
+    ro_store, rd_store, target_store = (
+        jnp.asarray(ro_store), jnp.asarray(rd_store), jnp.asarray(target_store)
+    )
+    print(f"ray store: {ro_store.shape[0]:,} rays on {jax.default_backend()}")
+
+    settings = render_settings_from_config(cfg, "train", hwf=(h, w, focal))
+    val_settings = render_settings_from_config(cfg, "validation", hwf=(h, w, focal))
+    model_coarse = model_from_config(cfg.models.coarse)
+    model_fine = (
+        model_from_config(cfg.models.fine) if "fine" in cfg.models else None
+    )
+    optimizer = optimizer_from_config(cfg)
+
+    key, k_init = jax.random.split(key)
+    state = create_train_state(model_coarse, model_fine, optimizer, k_init)
+    start_iter = 0
+
+    logdir = os.path.join(cfg.experiment.logdir, cfg.experiment.id)
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "config.yml"), "w") as f:
+        f.write(cfg.dump())
+    writer = MetricWriter(logdir)
+    rate = RateMeter()
+
+    ckpt_path = args.load_checkpoint or latest_checkpoint(logdir)
+    if ckpt_path and os.path.exists(ckpt_path):
+        restored = load_checkpoint(ckpt_path)
+        template = {
+            "step": state.step,
+            "params_coarse": state.params_coarse,
+            "params_fine": state.params_fine,
+            "opt_state": state.opt_state,
+        }
+        state = TrainState(
+            jnp.asarray(restored["step"], jnp.int32),
+            jax.tree.map(jnp.asarray, restored["params_coarse"]),
+            jax.tree.map(jnp.asarray, restored["params_fine"])
+            if restored.get("params_fine") is not None
+            else None,
+            jax.tree.unflatten(
+                jax.tree.structure(template["opt_state"]),
+                [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])],
+            ),
+        )
+        start_iter = int(restored["step"])
+        print(f"resumed from {ckpt_path} at step {start_iter}")
+
+    num_devices = len(jax.devices())
+    batch_size = int(cfg.nerf.train.num_random_rays)
+    if num_devices > 1:
+        mesh = make_mesh()
+        batch_size = pad_to_devices(batch_size, num_devices)
+        state = replicate_tree(mesh, state)
+        step_fn = make_parallel_train_step(
+            model_coarse, model_fine, settings, optimizer, mesh
+        )
+        print(f"data-parallel over {num_devices} devices, batch {batch_size}")
+    else:
+        mesh = None
+        step_fn = make_train_step(model_coarse, model_fine, settings, optimizer)
+
+    render_image = make_image_render_fn(model_coarse, model_fine, val_settings)
+
+    train_iters = int(cfg.experiment.train_iters)
+    t_start = time.time()
+    for i in range(start_iter, train_iters):
+        key, k_sample, k_step = jax.random.split(key, 3)
+        batch = sample_ray_batch(k_sample, ro_store, rd_store, target_store, batch_size)
+        if mesh is not None:
+            batch = shard_batch(mesh, *batch)
+        state, metrics = step_fn(state, *batch, k_step)
+        rate.update(batch_size)
+
+        if i % int(cfg.experiment.print_every) == 0 or i == train_iters - 1:
+            loss = float(metrics.loss)
+            psnr_v = float(metrics.psnr)
+            print(
+                f"[TRAIN] iter {i} loss {loss:.6f} psnr {psnr_v:.3f} "
+                f"rays/s {rate.rate():,.0f}"
+            )
+            writer.scalars(
+                {
+                    "train/loss": loss,
+                    "train/coarse_loss": float(metrics.coarse_loss),
+                    "train/fine_loss": float(metrics.fine_loss),
+                    "train/psnr": psnr_v,
+                    "train/rays_per_sec": rate.rate(),
+                },
+                i,
+            )
+
+        if (
+            val_images is not None
+            and i > 0
+            and (i % int(cfg.experiment.validate_every) == 0 or i == train_iters - 1)
+        ):
+            t_val = time.time()
+            pose = jnp.asarray(np.asarray(val_poses[0])[:3, :4], jnp.float32)
+            v_ro, v_rd = get_ray_bundle(h, w, focal, pose)
+            pc = state.params_coarse
+            pf = state.params_fine
+            maps = render_image(pc, pf, v_ro, v_rd)
+            target = jnp.asarray(val_images[0][..., :3])
+            coarse_loss = img2mse(maps["rgb_coarse"], target)
+            loss = coarse_loss
+            fine_loss = 0.0
+            if "rgb_fine" in maps:
+                fine_loss = img2mse(maps["rgb_fine"], target)
+                loss = coarse_loss + fine_loss
+            psnr_v = float(mse2psnr(loss))
+            writer.scalars(
+                {
+                    "validation/loss": float(loss),
+                    "validation/coarse_loss": float(coarse_loss),
+                    "validation/fine_loss": float(fine_loss),
+                    "validation/psnr": psnr_v,
+                },
+                i,
+            )
+            writer.image(
+                "validation/rgb_fine" if "rgb_fine" in maps else "validation/rgb_coarse",
+                np.asarray(maps.get("rgb_fine", maps["rgb_coarse"])),
+                i,
+            )
+            print(
+                f"[VAL] iter {i} loss {float(loss):.6f} psnr {psnr_v:.3f} "
+                f"({time.time() - t_val:.2f}s)"
+            )
+
+        if i > 0 and (i % int(cfg.experiment.save_every) == 0 or i == train_iters - 1):
+            save_checkpoint(
+                os.path.join(logdir, f"checkpoint{i:05d}.ntc"),
+                {
+                    "step": i,
+                    "params_coarse": state.params_coarse,
+                    "params_fine": state.params_fine,
+                    "opt_state": state.opt_state,
+                    "loss": float(metrics.loss),
+                    "psnr": float(metrics.psnr),
+                },
+            )
+
+    writer.close()
+    print(f"done: {train_iters - start_iter} iters in {time.time() - t_start:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
