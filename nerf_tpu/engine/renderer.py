@@ -72,6 +72,11 @@ class RenderSettings:
     include_input_dir: bool = True
     log_sampling_xyz: bool = True
     log_sampling_dir: bool = True
+    # Use the fused Pallas encode+MLP kernel for radiance-field evaluation
+    # (forward-only — rendering/eval; training autodiffs the XLA path).
+    # Silently falls back to XLA when the model shape isn't the fusable
+    # default (ops/pallas/mlp.py supports_fused).
+    use_pallas: bool = False
 
     def eval_variant(self) -> "RenderSettings":
         """Deterministic copy for validation/eval rendering."""
@@ -116,6 +121,20 @@ def encode_points(
         )
         enc = jnp.concatenate([enc, enc_dir], axis=-1)
     return enc
+
+
+def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
+    """Evaluate the radiance field at sample points: fused Pallas kernel when
+    enabled + applicable, else positional-encode + MLP apply via XLA."""
+    if s.use_pallas and viewdirs is not None and s.log_sampling_xyz and s.log_sampling_dir:
+        from ..ops.pallas.mlp import fused_flexible_mlp, supports_fused
+
+        if supports_fused(model, params):
+            flat_pts = pts.reshape(-1, 3)
+            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape).reshape(-1, 3)
+            out = fused_flexible_mlp(params, flat_pts, vd)
+            return out.reshape(pts.shape[:-1] + (4,))
+    return model.apply(params, encode_points(pts, viewdirs, s))
 
 
 def render_rays(
@@ -166,7 +185,7 @@ def render_rays(
         z_vals = perturb_z_values(k_perturb, z_vals)
 
     pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
-    rf_coarse = model_coarse.apply(params_coarse, encode_points(pts, viewdirs, s))
+    rf_coarse = _eval_radiance_field(model_coarse, params_coarse, pts, viewdirs, s)
     coarse = volume_render_radiance_field(
         rf_coarse,
         z_vals,
@@ -191,7 +210,7 @@ def render_rays(
         pts = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
         fine_params = params_fine if params_fine is not None else params_coarse
         fine_model = model_fine if model_fine is not None else model_coarse
-        rf_fine = fine_model.apply(fine_params, encode_points(pts, viewdirs, s))
+        rf_fine = _eval_radiance_field(fine_model, fine_params, pts, viewdirs, s)
         fine = volume_render_radiance_field(
             rf_fine,
             z_all,

@@ -2,28 +2,28 @@
 
 The innermost hot loop of the whole framework is the MLP evaluated over
 rays x samples points (reference run_network, nerf/train_utils.py:19-21 — a
-Python chunk loop over an eager 7-layer torch module). The XLA path already
-jits this well, but materializes the (N, 90) encoded features and every
-(N, 128) activation in HBM between layer matmuls once N is large.
+Python chunk loop over an eager 7-layer torch module). The XLA path jits this
+well but materializes the (N, 90) encoded features and every (N, 128)
+activation in HBM between layer matmuls once N is large. This kernel keeps
+everything for a tile of points in VMEM: HBM traffic per point is 24 B of
+raw inputs + 16 B of outputs instead of ~1 KB of intermediates.
 
-This kernel fuses, per tile of points, entirely in VMEM:
-  1. sinusoidal positional encoding of xyz (10 freqs) and viewdirs (4 freqs)
-     — computed on-chip from the raw (tile, 3) inputs, so HBM traffic per
-     point is 24 B in / 16 B out instead of ~400 B of encoded features;
-  2. the full default FlexibleNeRFModel forward (models.py:233-254,
-     4 layers / 128 hidden / viewdirs, the shape every shipped checkpoint
-     uses): layer1 -> 3x layers_xyz -> {fc_feat, fc_alpha} -> dir branch ->
-     fc_rgb, all on the MXU with fp32 accumulation.
+MXU-friendly encoding trick: the sinusoidal features are never materialized
+in the reference's interleaved layout. Instead
+    scaled = pts @ S                (S = (3, 3F) frequency selection matrix)
+    h1 = pts @ W_x + sin(scaled) @ W_sin + cos(scaled) @ W_cos + b1
+where W_x / W_sin / W_cos are row-slices of the checkpoint's layer-1 weight,
+permuted on the host to match (a pure row permutation — checkpoint
+compatible). Same for the view-direction branch. Everything inside the
+kernel is a (tile, <=128) matmul or elementwise sin/cos — no narrow
+concatenations, no lane-padding blowups.
 
-Weights (~75k params, ~300 KB fp32) are broadcast to every grid step and
-stay VMEM-resident. Used for rendering/eval (no backward); training uses the
-XLA path (autodiff).
+Forward-only (rendering/eval); training autodiffs the XLA path. Weights
+(~300 KB) are VMEM-resident across the whole grid.
 
-Layout notes: encoded features are built at the reference's exact ordering
-[x, sin(f0 x), cos(f0 x), ...] (nerf_helpers.py:149-151) so converted
-checkpoints work unchanged. Feature dims (63/155) are not multiples of the
-128-lane tile; Mosaic pads lanes — the padding cost is dwarfed by the matmul
-work, and keeping the reference layout preserves checkpoint compatibility.
+Fuses the default FlexibleNeRFModel shape (nerf/models.py:233-254 forward,
+4 layers / 128 hidden / viewdirs, 10/4 encoding functions) — the shape of
+every shipped pretrained checkpoint.
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,32 +47,59 @@ _DIM_DIR = 3 + 6 * _NUM_FREQ_DIR   # 27
 _HIDDEN = 128
 
 
-def _encode(x: jnp.ndarray, num_freq: int) -> jnp.ndarray:
-    """Positional encoding inside the kernel: (T, 3) -> (T, 3 + 6*num_freq).
+def _freq_matrix(num_freq: int, dtype=jnp.float32) -> jnp.ndarray:
+    """S (3, 3*num_freq) with S[c, f*3 + c] = 2^f, so (x @ S)[:, f*3 + c]
+    = x_c * 2^f — the arguments of every sin/cos feature, as one matmul."""
+    s = np.zeros((3, 3 * num_freq), np.float32)
+    for f in range(num_freq):
+        for c in range(3):
+            s[c, f * 3 + c] = 2.0 ** f
+    return jnp.asarray(s, dtype)
 
-    Matches ops.encoding.positional_encoding's interleaved [sin|cos] blocks.
+
+def _split_rows(kernel: jnp.ndarray, num_freq: int):
+    """Split an encoded-input weight matrix (3+6F, out) into the row blocks
+    matching [x | per-freq interleaved sin/cos] and regroup the interleaved
+    sin/cos rows into contiguous (3F, out) blocks for sin and cos.
+
+    Reference feature order (nerf_helpers.py:149-151): for each frequency f,
+    a 3-row sin block then a 3-row cos block. Row index of sin feature
+    (f, c) is 3 + 6f + c; cos is 3 + 6f + 3 + c. Our matmul encoding emits
+    sin features ordered (f, c) -> f*3 + c, so the regrouped blocks are
+    exact row permutations of the original weight.
     """
-    feats = [x]
-    for i in range(num_freq):
-        scaled = x * (2.0 ** i)
-        feats.append(jnp.sin(scaled))
-        feats.append(jnp.cos(scaled))
-    return jnp.concatenate(feats, axis=-1)
+    w_x = kernel[:3]
+    sin_rows = []
+    cos_rows = []
+    for f in range(num_freq):
+        base = 3 + 6 * f
+        sin_rows.append(kernel[base : base + 3])
+        cos_rows.append(kernel[base + 3 : base + 6])
+    return w_x, jnp.concatenate(sin_rows, axis=0), jnp.concatenate(cos_rows, axis=0)
 
 
 def _mlp_kernel(
     pts_ref, dirs_ref,
-    w1_ref, b1_ref,
+    sx_ref, sd_ref,
+    w1x_ref, w1s_ref, w1c_ref, b1_ref,
     wx0_ref, bx0_ref, wx1_ref, bx1_ref, wx2_ref, bx2_ref,
     wfeat_ref, bfeat_ref, walpha_ref, balpha_ref,
-    wdir_ref, bdir_ref, wrgb_ref, brgb_ref,
+    wdf_ref, wdx_ref, wds_ref, wdc_ref, bdir_ref,
+    wrgb_ref, brgb_ref,
     out_ref,
 ):
     f32 = jnp.float32
-    xyz = _encode(pts_ref[:], _NUM_FREQ_XYZ)
-    view = _encode(dirs_ref[:], _NUM_FREQ_DIR)
+    pts = pts_ref[:]
+    dirs = dirs_ref[:]
 
-    h = jnp.dot(xyz, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
+    # Encoded layer-1 input, folded into row-sliced matmuls (no concat).
+    scaled = jnp.dot(pts, sx_ref[:], preferred_element_type=f32)  # (T, 30)
+    h = (
+        jnp.dot(pts, w1x_ref[:], preferred_element_type=f32)
+        + jnp.dot(jnp.sin(scaled), w1s_ref[:], preferred_element_type=f32)
+        + jnp.dot(jnp.cos(scaled), w1c_ref[:], preferred_element_type=f32)
+        + b1_ref[:]
+    )
     for w_ref, b_ref in ((wx0_ref, bx0_ref), (wx1_ref, bx1_ref), (wx2_ref, bx2_ref)):
         h = jnp.maximum(
             jnp.dot(h, w_ref[:], preferred_element_type=f32) + b_ref[:], 0.0
@@ -80,26 +108,42 @@ def _mlp_kernel(
         jnp.dot(h, wfeat_ref[:], preferred_element_type=f32) + bfeat_ref[:], 0.0
     )
     alpha = jnp.dot(h, walpha_ref[:], preferred_element_type=f32) + balpha_ref[:]
-    hd = jnp.concatenate([feat, view], axis=-1)
-    hd = jnp.maximum(
-        jnp.dot(hd, wdir_ref[:], preferred_element_type=f32) + bdir_ref[:], 0.0
+
+    # Direction branch: cat(feat, enc(dirs)) @ Wdir folded the same way.
+    dscaled = jnp.dot(dirs, sd_ref[:], preferred_element_type=f32)  # (T, 12)
+    hd = (
+        jnp.dot(feat, wdf_ref[:], preferred_element_type=f32)
+        + jnp.dot(dirs, wdx_ref[:], preferred_element_type=f32)
+        + jnp.dot(jnp.sin(dscaled), wds_ref[:], preferred_element_type=f32)
+        + jnp.dot(jnp.cos(dscaled), wdc_ref[:], preferred_element_type=f32)
+        + bdir_ref[:]
     )
+    hd = jnp.maximum(hd, 0.0)
     rgb = jnp.dot(hd, wrgb_ref[:], preferred_element_type=f32) + brgb_ref[:]
     out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
 
 
-def _weight_args(params: Params):
-    """Flatten the default-shape FlexibleNeRF params into the kernel arg order."""
+def _prepare_weights(params: Params, dtype):
+    """Host-side weight re-layout for the kernel (pure permutations/casts)."""
     p = params
+    w1x, w1s, w1c = _split_rows(jnp.asarray(p["layer1"]["kernel"]), _NUM_FREQ_XYZ)
+    wdir = jnp.asarray(p["layers_dir"][0]["kernel"])  # (128 + 27, 64)
+    wdf = wdir[:_HIDDEN]
+    wdx, wds, wdc = _split_rows(wdir[_HIDDEN:], _NUM_FREQ_DIR)
+
+    def c(x):
+        return jnp.asarray(x, dtype)
+
     return (
-        p["layer1"]["kernel"], p["layer1"]["bias"],
-        p["layers_xyz"][0]["kernel"], p["layers_xyz"][0]["bias"],
-        p["layers_xyz"][1]["kernel"], p["layers_xyz"][1]["bias"],
-        p["layers_xyz"][2]["kernel"], p["layers_xyz"][2]["bias"],
-        p["fc_feat"]["kernel"], p["fc_feat"]["bias"],
-        p["fc_alpha"]["kernel"], p["fc_alpha"]["bias"],
-        p["layers_dir"][0]["kernel"], p["layers_dir"][0]["bias"],
-        p["fc_rgb"]["kernel"], p["fc_rgb"]["bias"],
+        c(_freq_matrix(_NUM_FREQ_XYZ)), c(_freq_matrix(_NUM_FREQ_DIR)),
+        c(w1x), c(w1s), c(w1c), c(p["layer1"]["bias"]),
+        c(p["layers_xyz"][0]["kernel"]), c(p["layers_xyz"][0]["bias"]),
+        c(p["layers_xyz"][1]["kernel"]), c(p["layers_xyz"][1]["bias"]),
+        c(p["layers_xyz"][2]["kernel"]), c(p["layers_xyz"][2]["bias"]),
+        c(p["fc_feat"]["kernel"]), c(p["fc_feat"]["bias"]),
+        c(p["fc_alpha"]["kernel"]), c(p["fc_alpha"]["bias"]),
+        c(wdf), c(wdx), c(wds), c(wdc), c(p["layers_dir"][0]["bias"]),
+        c(p["fc_rgb"]["kernel"]), c(p["fc_rgb"]["bias"]),
     )
 
 
@@ -127,15 +171,15 @@ def fused_flexible_mlp(
     params: Params,
     pts: jnp.ndarray,
     viewdirs: jnp.ndarray,
-    tile: int = 2048,
+    tile: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Evaluate the default FlexibleNeRF radiance field, fused in VMEM.
 
     pts:      (N, 3) world-space sample points.
     viewdirs: (N, 3) per-point normalized view directions (pre-broadcast).
-    Returns (N, 4) raw [r, g, b, sigma]. N is padded to a tile multiple
-    internally.
+    Returns (N, 4) raw [r, g, b, sigma] in float32. N is padded to a tile
+    multiple internally.
     """
     n = pts.shape[0]
     padded = (n + tile - 1) // tile * tile
@@ -143,14 +187,14 @@ def fused_flexible_mlp(
         pts = jnp.pad(pts, ((0, padded - n), (0, 0)))
         viewdirs = jnp.pad(viewdirs, ((0, padded - n), (0, 0)))
 
+    weights = _prepare_weights(params, jnp.float32)
     grid = (padded // tile,)
     point_spec = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    # Weights: full-array blocks, identical for every grid step (VMEM-resident).
     weight_specs = [
         pl.BlockSpec(
             w.shape, lambda i, _nd=w.ndim: (0,) * _nd, memory_space=pltpu.VMEM
         )
-        for w in _weight_args(params)
+        for w in weights
     ]
 
     out = pl.pallas_call(
@@ -160,5 +204,5 @@ def fused_flexible_mlp(
         in_specs=[point_spec, point_spec] + weight_specs,
         out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(pts.astype(jnp.float32), viewdirs.astype(jnp.float32), *_weight_args(params))
+    )(pts.astype(jnp.float32), viewdirs.astype(jnp.float32), *weights)
     return out[:n]

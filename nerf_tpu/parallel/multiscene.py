@@ -1,0 +1,111 @@
+"""Multi-scene batched training: N scenes optimized as one vmapped TPU workload.
+
+BASELINE.json config 5: "train/render all 7 pretrained lowres scenes as one
+vmapped TPU workload". The reference can only run scenes as separate
+processes; here the scene axis becomes a leading batch dimension over
+parameters, optimizer state, and ray batches, and ONE jitted program steps
+every scene simultaneously — small 128-wide MLP matmuls from different scenes
+batch together and fill the MXU far better than a single scene can.
+
+Composes with data parallelism: vmap over scenes inside, shard_map over rays
+outside (not wired by default; single-chip multi-scene is already a large
+utilization win).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..engine.renderer import RenderSettings, render_rays
+from ..engine.train import StepMetrics, TrainState
+from ..ops.math import img2mse, mse2psnr
+
+
+def create_multiscene_state(
+    model_coarse,
+    model_fine,
+    optimizer: optax.GradientTransformation,
+    key: jax.Array,
+    num_scenes: int,
+) -> TrainState:
+    """TrainState whose every leaf has a leading (num_scenes,) axis."""
+    keys = jax.random.split(key, num_scenes)
+
+    def init_one(k):
+        kc, kf = jax.random.split(k)
+        pc = model_coarse.init(kc)
+        pf = model_fine.init(kf) if model_fine is not None else None
+        opt = optimizer.init({"coarse": pc, "fine": pf})
+        return TrainState(jnp.asarray(0, jnp.int32), pc, pf, opt)
+
+    return jax.vmap(init_one)(keys)
+
+
+def make_multiscene_train_step(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    jit: bool = True,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array],
+              Tuple[TrainState, StepMetrics]]:
+    """Build the scene-vmapped training step.
+
+    step(state, ro (S,B,3), rd (S,B,3), target (S,B,3), key)
+      -> (state, StepMetrics with (S,)-shaped fields)
+    where S = num_scenes. Each scene gets independent params, optimizer
+    state, and RNG stream; the whole update is one XLA program.
+    """
+
+    def loss_fn(trainable, ro, rd, target, key):
+        out = render_rays(
+            model_coarse, trainable["coarse"],
+            model_fine, trainable["fine"],
+            ro, rd, settings, key,
+        )
+        coarse_loss = img2mse(out.coarse.rgb, target)
+        fine_loss = (
+            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
+        )
+        return coarse_loss + fine_loss, (coarse_loss, fine_loss)
+
+    def one_scene_step(state: TrainState, ro, rd, target, key):
+        trainable = {"coarse": state.params_coarse, "fine": state.params_fine}
+        (loss, (closs, floss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, ro, rd, target, key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        new_state = TrainState(
+            state.step + 1, trainable["coarse"], trainable["fine"], opt_state
+        )
+        return new_state, StepMetrics(loss, closs, floss, mse2psnr(loss))
+
+    def step(state: TrainState, ro, rd, target, key):
+        num_scenes = ro.shape[0]
+        keys = jax.random.split(key, num_scenes)
+        return jax.vmap(one_scene_step)(state, ro, rd, target, keys)
+
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
+
+
+def sample_multiscene_batch(
+    key: jax.Array,
+    ray_origins: jnp.ndarray,     # (S, N, 3) per-scene ray stores
+    ray_directions: jnp.ndarray,  # (S, N, 3)
+    targets: jnp.ndarray,         # (S, N, 3)
+    batch_size: int,
+):
+    """Per-scene independent uniform ray batches, one gather per scene."""
+    num_scenes, n = ray_origins.shape[:2]
+    idx = jax.random.randint(key, (num_scenes, batch_size), 0, n)
+    take = jax.vmap(lambda a, i: a[i])
+    return (
+        take(ray_origins, idx),
+        take(ray_directions, idx),
+        take(targets, idx),
+    )

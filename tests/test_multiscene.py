@@ -1,0 +1,97 @@
+"""Multi-scene vmapped training: per-scene independence + equivalence to
+running each scene's step alone."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.engine.renderer import RenderSettings
+from nerf_tpu.engine.train import create_train_state, make_optimizer, make_train_step
+from nerf_tpu.models import FlexibleNeRFModel
+from nerf_tpu.parallel.multiscene import (
+    create_multiscene_state,
+    make_multiscene_train_step,
+    sample_multiscene_batch,
+)
+
+
+def _setup():
+    settings = RenderSettings(
+        num_coarse=8, num_fine=0, perturb=False,
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16, num_encoding_fn_xyz=4, num_encoding_fn_dir=2
+    )
+    opt = make_optimizer("adam", 1e-3)
+    return settings, model, opt
+
+
+def test_multiscene_state_shapes():
+    settings, model, opt = _setup()
+    state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), 3)
+    assert state.params_coarse["layer1"]["kernel"].shape[0] == 3
+    assert state.step.shape == (3,)
+    # scenes start with different random params
+    k = np.asarray(state.params_coarse["layer1"]["kernel"])
+    assert not np.allclose(k[0], k[1])
+
+
+def test_multiscene_step_runs_and_is_per_scene(rng):
+    settings, model, opt = _setup()
+    S, B = 3, 16
+    state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), S)
+    step = make_multiscene_train_step(model, None, settings, opt)
+
+    ro = jnp.zeros((S, B, 3))
+    rd = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (S, B, 1))
+    # different target per scene -> different losses
+    target = jnp.stack([jnp.full((B, 3), v) for v in (0.1, 0.5, 0.9)])
+    state2, metrics = step(state, ro, rd, target, jax.random.PRNGKey(1))
+    assert metrics.loss.shape == (S,)
+    losses = np.asarray(metrics.loss)
+    assert len(set(np.round(losses, 6))) == S  # per-scene independence
+    assert (np.asarray(state2.step) == 1).all()
+
+
+def test_multiscene_matches_singlescene():
+    """Scene s of the vmapped step must equal a solo step with scene s's state."""
+    settings, model, opt = _setup()
+    S, B = 2, 8
+    ms_state = create_multiscene_state(model, None, opt, jax.random.PRNGKey(0), S)
+    ms_step = make_multiscene_train_step(model, None, settings, opt, jit=False)
+
+    ro = jnp.zeros((S, B, 3))
+    rd = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (S, B, 1))
+    target = jnp.stack([jnp.full((B, 3), 0.2), jnp.full((B, 3), 0.7)])
+    key = jax.random.PRNGKey(9)
+    new_ms, ms_metrics = ms_step(ms_state, ro, rd, target, key)
+
+    solo_step = make_train_step(model, None, settings, opt, jit=False)
+    keys = jax.random.split(key, S)
+    from nerf_tpu.engine.train import TrainState
+
+    for s in range(S):
+        solo_state = jax.tree.map(lambda x: x[s], ms_state)
+        new_solo, solo_metrics = solo_step(
+            solo_state, ro[s], rd[s], target[s], keys[s]
+        )
+        np.testing.assert_allclose(
+            float(solo_metrics.loss), float(ms_metrics.loss[s]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_solo.params_coarse["layer1"]["kernel"]),
+            np.asarray(new_ms.params_coarse["layer1"]["kernel"])[s],
+            rtol=1e-5, atol=1e-7,
+        )
+
+
+def test_sample_multiscene_batch():
+    S, N, B = 2, 50, 8
+    ro = jnp.arange(S * N * 3, dtype=jnp.float32).reshape(S, N, 3)
+    rd, t = ro + 1, ro + 2
+    b_ro, b_rd, b_t = sample_multiscene_batch(jax.random.PRNGKey(0), ro, rd, t, B)
+    assert b_ro.shape == (S, B, 3)
+    np.testing.assert_array_equal(np.asarray(b_rd), np.asarray(b_ro) + 1)
+    # scene 0 rows come from scene 0's pool
+    assert np.asarray(b_ro)[0].max() < N * 3
