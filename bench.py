@@ -27,13 +27,15 @@ import jax.numpy as jnp
 REFERENCE_TRAIN_RAYS_PER_SEC = 11378.0  # 200_000 * 1024 rays / 5 h (see docstring)
 
 
-def bench_train(num_steps: int = 60, batch: int = 1024) -> float:
+def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4) -> float:
+    """Steady-state training throughput via the production scan loop
+    (train_nerf.py's hot path): K full steps per host dispatch, on-device
+    ray sampling included."""
     from nerf_tpu.engine.renderer import RenderSettings
     from nerf_tpu.engine.train import (
         create_train_state,
         make_optimizer,
-        make_train_step,
-        sample_ray_batch,
+        make_train_loop,
     )
     from nerf_tpu.models import FlexibleNeRFModel
 
@@ -45,7 +47,7 @@ def bench_train(num_steps: int = 60, batch: int = 1024) -> float:
     model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
     state = create_train_state(model, model, opt, jax.random.PRNGKey(0))
-    step = make_train_step(model, model, settings, opt)
+    loop = make_train_loop(model, model, settings, opt, batch, steps_per_call)
 
     # Synthetic device-resident ray store (perf is content-independent).
     n = 1 << 18
@@ -54,20 +56,15 @@ def bench_train(num_steps: int = 60, batch: int = 1024) -> float:
     rd = jax.random.uniform(key, (n, 3), minval=-1, maxval=1) - jnp.array([0, 0, 1.5])
     tgt = jax.random.uniform(key, (n, 3))
 
-    # warmup/compile
-    k = jax.random.PRNGKey(2)
-    for _ in range(3):
-        k, ks, kt = jax.random.split(k, 3)
-        state, m = step(state, *sample_ray_batch(ks, ro, rd, tgt, batch), kt)
-    float(m.loss)  # host fetch: forces the queued steps to complete
+    state, m = loop(state, ro, rd, tgt, jax.random.PRNGKey(2))  # compile
+    float(m.loss[-1])
 
     t0 = time.perf_counter()
-    for _ in range(num_steps):
-        k, ks, kt = jax.random.split(k, 3)
-        state, m = step(state, *sample_ray_batch(ks, ro, rd, tgt, batch), kt)
-    float(m.loss)  # sequential state dependency makes this fence all steps
+    for c in range(calls):
+        state, m = loop(state, ro, rd, tgt, jax.random.PRNGKey(3 + c))
+    float(m.loss[-1])  # host fetch fences every queued scan
     dt = time.perf_counter() - t0
-    return num_steps * batch / dt
+    return calls * steps_per_call * batch / dt
 
 
 def bench_render(side: int = 400) -> float:

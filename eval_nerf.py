@@ -125,31 +125,48 @@ def main():
     if args.num_poses > 0:
         poses = poses[: args.num_poses]
 
-    times = []
-    for i, pose in enumerate(poses):
-        t0 = time.time()
-        ro, rd = get_ray_bundle(h, w, focal, jnp.asarray(pose[:3, :4], jnp.float32))
-        maps = render_image(params_coarse, params_fine, ro, rd)
-        rgb = maps.get("rgb_fine", maps["rgb_coarse"])
-        rgb.block_until_ready()
-        dt = time.time() - t0
-        times.append(dt)
-        imageio.imwrite(
-            os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb)
-        )
+    def write_out(i, maps):
+        rgb = np.asarray(maps.get("rgb_fine", maps["rgb_coarse"]))
+        imageio.imwrite(os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb))
         if args.save_disparity_image:
             disp = maps.get("disp_fine", maps["disp_coarse"])
             imageio.imwrite(
                 os.path.join(args.savedir, "disparity", f"{i:04d}.png"),
                 cast_to_disparity_image(np.asarray(disp)),
             )
-        print(f"[{i:04d}] {dt:.3f}s ({h * w / dt:,.0f} rays/s)")
 
-    steady = times[1:] or times
-    print(
-        f"rendered {len(poses)} poses at {h}x{w}; "
-        f"steady-state {np.mean(steady):.3f}s/img = {h * w / np.mean(steady):,.0f} rays/s"
-    )
+    # Two-deep dispatch pipeline: the next frame's render is enqueued on the
+    # device before the current frame's results are fetched/written, hiding
+    # dispatch latency and PNG encoding behind device compute.
+    t_start = time.time()
+    t_first = None
+    pending = []
+    for i, pose in enumerate(poses):
+        ro, rd = get_ray_bundle(h, w, focal, jnp.asarray(pose[:3, :4], jnp.float32))
+        pending.append((i, render_image(params_coarse, params_fine, ro, rd)))
+        if len(pending) >= 2:
+            j, maps = pending.pop(0)
+            write_out(j, maps)
+            if t_first is None:
+                t_first = time.time()
+            print(f"[{j:04d}] done ({(time.time() - t_start):.1f}s elapsed)")
+    for j, maps in pending:
+        write_out(j, maps)
+        if t_first is None:
+            t_first = time.time()
+        print(f"[{j:04d}] done ({(time.time() - t_start):.1f}s elapsed)")
+
+    total = time.time() - t_start
+    n = len(poses)
+    if n > 1 and t_first is not None:
+        # Exclude the first frame (compile + pipeline fill) from steady-state.
+        steady = (time.time() - t_first) / max(n - 1, 1)
+        print(
+            f"rendered {n} poses at {h}x{w} in {total:.1f}s; "
+            f"steady-state {steady:.3f}s/img = {h * w / steady:,.0f} rays/s"
+        )
+    else:
+        print(f"rendered {n} poses at {h}x{w} in {total:.1f}s")
 
 
 if __name__ == "__main__":

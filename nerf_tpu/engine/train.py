@@ -144,6 +144,45 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,)) if jit else train_step
 
 
+def make_train_loop(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    steps_per_call: int,
+    jit: bool = True,
+):
+    """Build a multi-step jitted training loop (the production hot path).
+
+    loop(state, ro_store (N,3), rd_store (N,3), tgt_store (N,3), base_key)
+      -> (state, StepMetrics with (steps_per_call,)-shaped fields)
+
+    ``lax.scan``s ``steps_per_call`` full training steps — on-device ray-batch
+    sampling included — inside ONE compiled program. Each dispatch through
+    the host (expensive over a remote runtime: ~10-30 ms) then amortizes over
+    K steps instead of paying per step; per-step RNG derives from
+    fold_in(base_key, state.step) so resume/replay stay deterministic
+    regardless of K.
+    """
+    step_fn = make_train_step(model_coarse, model_fine, settings, optimizer, jit=False)
+
+    def loop(state: TrainState, ro_store, rd_store, tgt_store, base_key):
+        def body(carry, _):
+            st = carry
+            key = jax.random.fold_in(base_key, st.step)
+            k_sample, k_step = jax.random.split(key)
+            idx = jax.random.randint(k_sample, (batch_size,), 0, ro_store.shape[0])
+            st, metrics = step_fn(
+                st, ro_store[idx], rd_store[idx], tgt_store[idx], k_step
+            )
+            return st, metrics
+
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    return jax.jit(loop, donate_argnums=(0,)) if jit else loop
+
+
 def sample_ray_batch(
     key: jax.Array,
     ray_origins: jnp.ndarray,

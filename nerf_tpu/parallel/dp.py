@@ -88,6 +88,78 @@ def make_parallel_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_parallel_train_loop(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    batch_size: int,
+    steps_per_call: int,
+    axis: str = DATA_AXIS,
+):
+    """Sharded multi-step training loop: lax.scan of full DP steps inside
+    shard_map, with per-device on-device ray sampling from the local shard.
+
+    loop(state, ro_store, rd_store, tgt_store, base_key) -> (state, metrics)
+    with the ray stores sharded on axis 0 across the mesh, state replicated,
+    ``batch_size`` the GLOBAL batch (split evenly across devices), and
+    metrics fields shaped (steps_per_call,). One host dispatch per K steps;
+    gradients psum over ICI every step inside the compiled loop.
+    """
+    if batch_size % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by mesh axis {mesh.shape[axis]}"
+        )
+    local_batch = batch_size // mesh.shape[axis]
+
+    def loss_fn(trainable, ro, rd, target, key):
+        out = render_rays(
+            model_coarse, trainable["coarse"],
+            model_fine, trainable["fine"],
+            ro, rd, settings, key,
+        )
+        coarse_loss = img2mse(out.coarse.rgb, target)
+        fine_loss = (
+            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
+        )
+        return coarse_loss + fine_loss, (coarse_loss, fine_loss)
+
+    def shard_loop(state: TrainState, ro_store, rd_store, tgt_store, base_key):
+        shard_id = jax.lax.axis_index(axis)
+
+        def body(carry, _):
+            st = carry
+            key = jax.random.fold_in(jax.random.fold_in(base_key, st.step), shard_id)
+            k_sample, k_step = jax.random.split(key)
+            idx = jax.random.randint(k_sample, (local_batch,), 0, ro_store.shape[0])
+            trainable = {"coarse": st.params_coarse, "fine": st.params_fine}
+            (loss, (closs, floss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable, ro_store[idx], rd_store[idx], tgt_store[idx], k_step)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            closs = jax.lax.pmean(closs, axis)
+            floss = jax.lax.pmean(floss, axis)
+            updates, opt_state = optimizer.update(grads, st.opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            st = TrainState(
+                st.step + 1, trainable["coarse"], trainable["fine"], opt_state
+            )
+            return st, StepMetrics(loss, closs, floss, mse2psnr(loss))
+
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    sharded = jax.shard_map(
+        shard_loop,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def make_parallel_render_fn(
     model_coarse,
     model_fine,

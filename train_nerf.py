@@ -53,17 +53,16 @@ from nerf_tpu.engine.renderer import make_image_render_fn
 from nerf_tpu.engine.train import (
     TrainState,
     create_train_state,
-    make_train_step,
-    sample_ray_batch,
+    make_train_loop,
 )
 from nerf_tpu.ops import get_ray_bundle, img2mse, mse2psnr
 from nerf_tpu.parallel import (
     make_mesh,
-    make_parallel_train_step,
     pad_to_devices,
     replicate_tree,
     shard_batch,
 )
+from nerf_tpu.parallel.dp import make_parallel_train_loop
 from nerf_tpu.utils import MetricWriter, RateMeter
 
 
@@ -234,35 +233,59 @@ def main():
 
     num_devices = len(jax.devices())
     batch_size = int(cfg.nerf.train.num_random_rays)
+    train_iters = int(cfg.experiment.train_iters)
+    # One compiled program runs `steps_per_call` full train steps (on-device
+    # ray sampling included) per host dispatch — the per-dispatch latency of
+    # a remote TPU runtime then amortizes over K steps.
+    steps_per_call = max(
+        1,
+        min(
+            int(cfg.experiment.print_every),
+            int(cfg.experiment.validate_every),
+            int(cfg.experiment.save_every),
+            train_iters - start_iter,
+        ),
+    )
     if num_devices > 1:
         mesh = make_mesh()
         batch_size = pad_to_devices(batch_size, num_devices)
         state = replicate_tree(mesh, state)
-        step_fn = make_parallel_train_step(
-            model_coarse, model_fine, settings, optimizer, mesh
+        n_pad = pad_to_devices(ro_store.shape[0], num_devices)
+        if n_pad != ro_store.shape[0]:
+            pad = n_pad - ro_store.shape[0]
+            ro_store = jnp.concatenate([ro_store, ro_store[:pad]])
+            rd_store = jnp.concatenate([rd_store, rd_store[:pad]])
+            target_store = jnp.concatenate([target_store, target_store[:pad]])
+        ro_store, rd_store, target_store = shard_batch(
+            mesh, ro_store, rd_store, target_store
+        )
+        loop_fn = make_parallel_train_loop(
+            model_coarse, model_fine, settings, optimizer, mesh,
+            batch_size, steps_per_call,
         )
         print(f"data-parallel over {num_devices} devices, batch {batch_size}")
     else:
         mesh = None
-        step_fn = make_train_step(model_coarse, model_fine, settings, optimizer)
+        loop_fn = make_train_loop(
+            model_coarse, model_fine, settings, optimizer, batch_size, steps_per_call
+        )
 
     render_image = make_image_render_fn(model_coarse, model_fine, val_settings)
 
-    train_iters = int(cfg.experiment.train_iters)
     t_start = time.time()
-    for i in range(start_iter, train_iters):
-        key, k_sample, k_step = jax.random.split(key, 3)
-        batch = sample_ray_batch(k_sample, ro_store, rd_store, target_store, batch_size)
-        if mesh is not None:
-            batch = shard_batch(mesh, *batch)
-        state, metrics = step_fn(state, *batch, k_step)
-        rate.update(batch_size)
+    for i in range(start_iter, train_iters, steps_per_call):
+        key, k_loop = jax.random.split(key)
+        state, metrics = loop_fn(state, ro_store, rd_store, target_store, k_loop)
+        last = jax.tree.map(lambda x: x[-1], metrics)
+        loss = float(last.loss)  # host fetch fences the whole scan
+        rate.update(batch_size * steps_per_call)
+        i_end = min(i + steps_per_call, train_iters) - 1
+        metrics = last
 
-        if i % int(cfg.experiment.print_every) == 0 or i == train_iters - 1:
-            loss = float(metrics.loss)
+        if True:  # every loop call ends on a print boundary (steps_per_call | print_every)
             psnr_v = float(metrics.psnr)
             print(
-                f"[TRAIN] iter {i} loss {loss:.6f} psnr {psnr_v:.3f} "
+                f"[TRAIN] iter {i_end} loss {loss:.6f} psnr {psnr_v:.3f} "
                 f"rays/s {rate.rate():,.0f}"
             )
             writer.scalars(
@@ -273,13 +296,12 @@ def main():
                     "train/psnr": psnr_v,
                     "train/rays_per_sec": rate.rate(),
                 },
-                i,
+                i_end,
             )
 
-        if (
-            val_images is not None
-            and i > 0
-            and (i % int(cfg.experiment.validate_every) == 0 or i == train_iters - 1)
+        done = i_end + 1  # completed iterations
+        if val_images is not None and (
+            done % int(cfg.experiment.validate_every) == 0 or done >= train_iters
         ):
             t_val = time.time()
             pose = jnp.asarray(np.asarray(val_poses[0])[:3, :4], jnp.float32)
@@ -302,23 +324,23 @@ def main():
                     "validation/fine_loss": float(fine_loss),
                     "validation/psnr": psnr_v,
                 },
-                i,
+                i_end,
             )
             writer.image(
                 "validation/rgb_fine" if "rgb_fine" in maps else "validation/rgb_coarse",
                 np.asarray(maps.get("rgb_fine", maps["rgb_coarse"])),
-                i,
+                i_end,
             )
             print(
-                f"[VAL] iter {i} loss {float(loss):.6f} psnr {psnr_v:.3f} "
+                f"[VAL] iter {i_end} loss {float(loss):.6f} psnr {psnr_v:.3f} "
                 f"({time.time() - t_val:.2f}s)"
             )
 
-        if i > 0 and (i % int(cfg.experiment.save_every) == 0 or i == train_iters - 1):
+        if done % int(cfg.experiment.save_every) == 0 or done >= train_iters:
             save_checkpoint(
-                os.path.join(logdir, f"checkpoint{i:05d}.ntc"),
+                os.path.join(logdir, f"checkpoint{done:05d}.ntc"),
                 {
-                    "step": i,
+                    "step": done,
                     "params_coarse": state.params_coarse,
                     "params_fine": state.params_fine,
                     "opt_state": state.opt_state,
