@@ -37,11 +37,24 @@ def build_ray_store(
     height: int,
     width: int,
     focal: float,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Expand (N,H,W,3) images + (N,4,4)/(N,3,4+) poses into flat ray arrays.
 
     Returns (ray_origins, ray_directions, targets), each (N*H*W, 3) float32.
+    Uses the threaded C++ builder (nerf_tpu.native) when available; the jnp
+    path below is the executable spec it must match.
     """
+    if use_native:
+        from .. import native  # noqa: PLC0415
+
+        if native.available():
+            poses34 = np.stack([np.asarray(p)[:3, :4] for p in poses])
+            ro, rd, rgb = native.build_ray_store_native(
+                poses34, np.asarray(images), height, width, focal
+            )
+            return ro, rd, rgb
+
     origins, directions, targets = [], [], []
     for img, pose in zip(images, poses):
         c2w = jnp.asarray(pose[:3, :4], jnp.float32)

@@ -11,6 +11,7 @@ test (the role tiny_nerf_data.npz plays for the reference's tiny_nerf.py:197).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -23,23 +24,50 @@ from ..ops.volume import volume_render_radiance_field
 from .poses import pose_spherical
 
 
-def analytic_radiance_field(pts: jnp.ndarray) -> jnp.ndarray:
+def analytic_radiance_field(
+    pts: jnp.ndarray, phase: float = 0.0, sphere_radius: float = 0.8
+) -> jnp.ndarray:
     """Raw radiance field [r, g, b, sigma] at world points (pre-sigmoid / pre-relu).
 
-    A soft sphere of radius ~0.8 at the origin whose color is a smooth
-    function of position — everything is C^1 so the MLP can fit it easily.
+    A soft sphere at the origin whose color is a smooth function of position
+    — everything is C^1 so the MLP can fit it easily. ``phase`` and
+    ``sphere_radius`` parameterize distinct scenes (multi-scene workloads).
     """
     r = jnp.linalg.norm(pts, axis=-1)
-    sigma = 40.0 * (0.8 - r)  # >0 inside the sphere, relu clamps outside
+    sigma = 40.0 * (sphere_radius - r)  # >0 inside the sphere, relu clamps outside
     rgb = jnp.stack(
         [
-            2.0 * jnp.sin(3.0 * pts[..., 0]),
-            2.0 * jnp.cos(3.0 * pts[..., 1]),
-            2.0 * jnp.sin(3.0 * pts[..., 2] + 1.0),
+            2.0 * jnp.sin(3.0 * pts[..., 0] + phase),
+            2.0 * jnp.cos(3.0 * pts[..., 1] + phase),
+            2.0 * jnp.sin(3.0 * pts[..., 2] + 1.0 + phase),
         ],
         axis=-1,
     )
     return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "num_samples", "white_background"),
+)
+def _render_analytic(
+    pose, focal, near, far, phase, sphere_radius,
+    height: int, width: int, num_samples: int, white_background: bool,
+):
+    """Jitted GT render with scene params as traced args — one compile covers
+    every pose AND every (phase, sphere_radius) scene variant (Python-float
+    scene params would otherwise bake into constants and recompile per scene,
+    which is minutes of wall time under a remote-compile TPU runtime)."""
+    ro, rd = get_ray_bundle(height, width, focal, pose)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    z = coarse_z_values(
+        jnp.full(ro.shape[:1], near), jnp.full(ro.shape[:1], far), num_samples
+    )
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    rf = analytic_radiance_field(pts, phase=phase, sphere_radius=sphere_radius)
+    out = volume_render_radiance_field(rf, z, rd, white_background=white_background)
+    return out.rgb.reshape(height, width, 3)
 
 
 def render_analytic_image(
@@ -51,18 +79,18 @@ def render_analytic_image(
     near: float = 2.0,
     far: float = 6.0,
     white_background: bool = True,
+    phase: float = 0.0,
+    sphere_radius: float = 0.8,
 ) -> np.ndarray:
     """Ground-truth render of the analytic field for one pose."""
-    ro, rd = get_ray_bundle(height, width, focal, jnp.asarray(pose, jnp.float32))
-    ro = ro.reshape(-1, 3)
-    rd = rd.reshape(-1, 3)
-    z = coarse_z_values(
-        jnp.full(ro.shape[:1], near), jnp.full(ro.shape[:1], far), num_samples
+    rgb = _render_analytic(
+        jnp.asarray(pose, jnp.float32),
+        jnp.float32(focal), jnp.float32(near), jnp.float32(far),
+        jnp.float32(phase), jnp.float32(sphere_radius),
+        height=height, width=width, num_samples=num_samples,
+        white_background=white_background,
     )
-    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
-    rf = analytic_radiance_field(pts)
-    out = volume_render_radiance_field(rf, z, rd, white_background=white_background)
-    return np.asarray(out.rgb).reshape(height, width, 3)
+    return np.asarray(rgb)
 
 
 class SyntheticDataset(NamedTuple):
@@ -81,17 +109,22 @@ def make_synthetic_dataset(
     radius: float = 4.0,
     num_samples: int = 128,
     white_background: bool = True,
+    phase: float = 0.0,
+    sphere_radius: float = 0.8,
+    seed: int = 1234,
 ) -> SyntheticDataset:
     """Multi-view dataset of the analytic scene (poses on a sphere)."""
     focal = 0.5 * width / np.tan(0.5 * camera_angle_x)
-    rng = np.random.default_rng(1234)
+    rng = np.random.default_rng(seed)
     thetas = np.linspace(-180.0, 180.0, num_views, endpoint=False)
     phis = rng.uniform(-45.0, -15.0, num_views)
     poses = np.stack([pose_spherical(t, p, radius) for t, p in zip(thetas, phis)])
     images = np.stack(
         [
             render_analytic_image(
-                height, width, focal, p, num_samples, white_background=white_background
+                height, width, focal, p, num_samples,
+                white_background=white_background,
+                phase=phase, sphere_radius=sphere_radius,
             )
             for p in poses
         ]

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Train N NeRF scenes simultaneously as ONE vmapped TPU workload.
+
+BASELINE.json config 5 ("multi-scene batch: train all 7 lowres scenes as one
+vmapped TPU workload"). The reference can only run scenes as separate
+processes; here the scene axis is a vmapped batch dimension over parameters,
+optimizer state, and ray batches — small per-scene MLP matmuls batch together
+and fill the MXU far better than any single scene can, so N scenes cost far
+less than N single-scene runs.
+
+Scenes default to N distinct procedural synthetic scenes (no downloads);
+pass --blender-dirs to train real blender scenes instead.
+
+Usage:
+  python train_multiscene.py --num-scenes 7 --iters 2000 [--size 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.data import (
+    build_ray_store,
+    composite_white_background,
+    load_blender_data,
+    make_synthetic_dataset,
+)
+from nerf_tpu.engine.renderer import RenderSettings
+from nerf_tpu.engine.train import make_optimizer
+from nerf_tpu.models import FlexibleNeRFModel
+from nerf_tpu.parallel.multiscene import (
+    create_multiscene_state,
+    make_multiscene_train_step,
+    sample_multiscene_batch,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-scenes", type=int, default=7)
+    parser.add_argument("--iters", type=int, default=2000)
+    parser.add_argument("--size", type=int, default=48)
+    parser.add_argument("--views", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=1024, help="rays per scene per step")
+    parser.add_argument("--print-every", type=int, default=200)
+    parser.add_argument(
+        "--blender-dirs", nargs="*", default=None,
+        help="Optional blender scene dirs (one per scene) instead of synthetic.",
+    )
+    args = parser.parse_args()
+
+    S = args.num_scenes
+    stores = []
+    if args.blender_dirs:
+        dirs = args.blender_dirs
+        S = len(dirs)
+        for d in dirs:
+            images, poses, _, hwf, i_split = load_blender_data(d, half_res=True)
+            images = composite_white_background(images)
+            tr = i_split[0]
+            stores.append(
+                build_ray_store(
+                    images[tr], poses[tr, :3, :4], int(hwf[0]), int(hwf[1]), float(hwf[2])
+                )
+            )
+    else:
+        print(f"building {S} synthetic scenes ({args.views} views @ {args.size}px)...")
+        for s in range(S):
+            ds = make_synthetic_dataset(
+                num_views=args.views, height=args.size, width=args.size,
+                phase=0.9 * s, sphere_radius=0.6 + 0.05 * s, seed=100 + s,
+            )
+            h, w, focal = ds.hwf
+            stores.append(build_ray_store(ds.images, ds.poses, h, w, focal))
+
+    # Equalize store sizes (vmap needs a rectangular (S, N, 3) array).
+    n_min = min(st[0].shape[0] for st in stores)
+    ro = jnp.asarray(np.stack([st[0][:n_min] for st in stores]))
+    rd = jnp.asarray(np.stack([st[1][:n_min] for st in stores]))
+    tgt = jnp.asarray(np.stack([st[2][:n_min] for st in stores]))
+    print(f"{S} scenes x {n_min:,} rays on {jax.default_backend()}")
+
+    settings = RenderSettings(
+        num_coarse=32, num_fine=32, perturb=True, radiance_field_noise_std=0.2,
+        white_background=True, near=2.0, far=6.0,
+        num_encoding_fn_xyz=6, num_encoding_fn_dir=4,
+    )
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=6, num_encoding_fn_dir=4)
+    opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
+    state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), S)
+    step = make_multiscene_train_step(model, model, settings, opt)
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for i in range(args.iters):
+        key, k_s, k_t = jax.random.split(key, 3)
+        batch = sample_multiscene_batch(k_s, ro, rd, tgt, args.batch)
+        state, metrics = step(state, *batch, k_t)
+        if i % args.print_every == 0 or i == args.iters - 1:
+            psnrs = np.asarray(metrics.psnr)
+            print(
+                f"iter {i:5d} mean psnr {psnrs.mean():6.2f} "
+                f"per-scene [{' '.join(f'{p:.1f}' for p in psnrs)}] "
+                f"rays/s {S * args.batch * (i + 1) / (time.time() - t0):,.0f}"
+            )
+    dt = time.time() - t0
+    total_rays = S * args.batch * args.iters
+    print(
+        f"trained {S} scenes x {args.iters} iters in {dt:.1f}s = "
+        f"{total_rays / dt:,.0f} aggregate rays/s"
+    )
+
+
+if __name__ == "__main__":
+    main()
