@@ -52,6 +52,11 @@ def main():
         "--num-poses", type=int, default=0,
         help="Render only the first N poses (0 = all).",
     )
+    parser.add_argument(
+        "--gif", type=str, default="",
+        help="Also assemble the rendered frames into a GIF at this path "
+             "(the reference ships orbit GIFs as its demo artifact).",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -155,6 +160,14 @@ def main():
         if t_first is None:
             t_first = time.time()
         print(f"[{j:04d}] done ({(time.time() - t_start):.1f}s elapsed)")
+
+    if args.gif:
+        frames = [
+            imageio.imread(os.path.join(args.savedir, f"{i:04d}.png"))
+            for i in range(len(poses))
+        ]
+        imageio.mimwrite(args.gif, frames, duration=0.05, loop=0)
+        print(f"wrote {args.gif} ({len(frames)} frames)")
 
     total = time.time() - t_start
     n = len(poses)

@@ -55,11 +55,14 @@ def make_optimizer(
     lr: float,
     lr_decay: Optional[float] = None,
     lr_decay_factor: Optional[float] = None,
+    grad_clip_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Build an optax optimizer by (reference torch.optim) name.
 
     The reference does ``getattr(torch.optim, cfg.optimizer.type)``
     (train_nerf.py:139-141); we map the common names onto optax.
+    ``grad_clip_norm`` adds global-norm clipping in front (a production
+    stability feature the reference lacks).
     """
     schedule: Any
     if lr_decay and lr_decay_factor:
@@ -76,7 +79,10 @@ def make_optimizer(
     }
     if name not in table:
         raise ValueError(f"Unsupported optimizer {optimizer_type!r}; available: {sorted(table)}")
-    return table[name](learning_rate=schedule)
+    opt = table[name](learning_rate=schedule)
+    if grad_clip_norm:
+        opt = optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), opt)
+    return opt
 
 
 def create_train_state(
@@ -107,12 +113,18 @@ def make_train_step(
     settings: RenderSettings,
     optimizer: optax.GradientTransformation,
     jit: bool = True,
+    nan_guard: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array],
               Tuple[TrainState, StepMetrics]]:
     """Build the jitted training step.
 
     step(state, ray_origins (B,3), ray_directions (B,3), target (B,3), key)
       -> (new_state, StepMetrics)
+
+    ``nan_guard``: skip the parameter/optimizer update (keeping only the step
+    increment) whenever the loss or any gradient is non-finite — a cheap
+    failure-detection mechanism so a single bad batch can't destroy a long
+    run (the reference has no failure handling at all, SURVEY.md §5).
     """
 
     def loss_fn(trainable, ro, rd, target, key):
@@ -134,9 +146,25 @@ def make_train_step(
             trainable, ro, rd, target, key
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
+        new_trainable = optax.apply_updates(trainable, updates)
+        if nan_guard:
+            finite = jnp.isfinite(loss)
+            for g in jax.tree.leaves(grads):
+                finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+            new_trainable = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_trainable, trainable
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: (
+                    jnp.where(finite, new, old)
+                    if isinstance(new, jnp.ndarray) and new.ndim >= 0
+                    else new
+                ),
+                opt_state,
+                state.opt_state,
+            )
         new_state = TrainState(
-            state.step + 1, trainable["coarse"], trainable["fine"], opt_state
+            state.step + 1, new_trainable["coarse"], new_trainable["fine"], opt_state
         )
         metrics = StepMetrics(loss, closs, floss, mse2psnr(loss))
         return new_state, metrics
@@ -152,6 +180,7 @@ def make_train_loop(
     batch_size: int,
     steps_per_call: int,
     jit: bool = True,
+    nan_guard: bool = False,
 ):
     """Build a multi-step jitted training loop (the production hot path).
 
@@ -165,7 +194,9 @@ def make_train_loop(
     fold_in(base_key, state.step) so resume/replay stay deterministic
     regardless of K.
     """
-    step_fn = make_train_step(model_coarse, model_fine, settings, optimizer, jit=False)
+    step_fn = make_train_step(
+        model_coarse, model_fine, settings, optimizer, jit=False, nan_guard=nan_guard
+    )
 
     def loop(state: TrainState, ro_store, rd_store, tgt_store, base_key):
         def body(carry, _):
