@@ -83,6 +83,11 @@ def main():
         )
         hwf = poses[0, :3, -1]
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    elif cfg.dataset.type == "synthetic":
+        # Procedural scene: standard spherical orbit at the training FOV.
+        h = w = int(getattr(cfg.dataset, "image_size", 64))
+        focal = 0.5 * w / np.tan(0.5 * 0.6911112070083618)
+        render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
     else:
         raise ValueError(f"Unsupported dataset type {cfg.dataset.type!r} for eval")
 
