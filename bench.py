@@ -111,12 +111,14 @@ def bench_render(side: int = 400) -> float:
 
 def main():
     train_rps = bench_train()
+    train_rps_big = bench_train(batch=4096, steps_per_call=25, calls=3)
     render_rps = bench_render()
     result = {
         "metric": "train rays/sec/chip (lego-lowres protocol: 1024-ray batch, 64+64 samples, fwd+bwd+adam)",
         "value": round(train_rps, 1),
         "unit": "rays/sec",
         "vs_baseline": round(train_rps / REFERENCE_TRAIN_RAYS_PER_SEC, 2),
+        "train_rays_per_sec_batch4096": round(train_rps_big, 1),
         "render_rays_per_sec_400px": round(render_rps, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -68,19 +68,26 @@ def cache_nerf_dataset(args) -> str:
             ro, rd, targets = ro[idx], rd[idx], targets[idx]
 
     os.makedirs(args.savedir, exist_ok=True)
-    path = os.path.join(args.savedir, "rays.npz")
-    save_ray_cache(
-        path,
-        ro,
-        rd,
-        targets,
-        meta={
-            "height": h, "width": w, "focal": focal,
-            "near": near, "far": far, "type": args.type,
-        },
-        val_images=images[i_val][..., :3],
-        val_poses=poses[i_val],
-    )
+    if args.format == "binary":
+        # Native single-file binary cache (C++ packer, one read per array).
+        from nerf_tpu import native
+
+        path = os.path.join(args.savedir, "rays.nrc")
+        native.pack_ray_cache(path, ro, rd, targets, h, w, focal, near, far)
+    else:
+        path = os.path.join(args.savedir, "rays.npz")
+        save_ray_cache(
+            path,
+            ro,
+            rd,
+            targets,
+            meta={
+                "height": h, "width": w, "focal": focal,
+                "near": near, "far": far, "type": args.type,
+            },
+            val_images=images[i_val][..., :3],
+            val_poses=poses[i_val],
+        )
     print(f"cached {ro.shape[0]:,} rays -> {path}")
     return path
 
@@ -101,6 +108,10 @@ def main():
     )
     parser.add_argument("--num-variations", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--format", choices=["npz", "binary"], default="npz",
+        help="npz (with validation views) or the native single-file binary cache.",
+    )
     cache_nerf_dataset(parser.parse_args())
 
 

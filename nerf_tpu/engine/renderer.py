@@ -127,13 +127,10 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     """Evaluate the radiance field at sample points: fused Pallas kernel when
     enabled + applicable, else positional-encode + MLP apply via XLA."""
     if s.use_pallas and viewdirs is not None and s.log_sampling_xyz and s.log_sampling_dir:
-        from ..ops.pallas.mlp import fused_flexible_mlp, supports_fused
+        from ..ops.pallas.mlp import fused_flexible_mlp_rays, supports_fused
 
-        if supports_fused(model, params):
-            flat_pts = pts.reshape(-1, 3)
-            vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape).reshape(-1, 3)
-            out = fused_flexible_mlp(params, flat_pts, vd)
-            return out.reshape(pts.shape[:-1] + (4,))
+        if supports_fused(model, params) and pts.ndim == 3:
+            return fused_flexible_mlp_rays(params, pts, viewdirs)
     return model.apply(params, encode_points(pts, viewdirs, s))
 
 

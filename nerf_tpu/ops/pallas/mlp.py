@@ -78,72 +78,98 @@ def _split_rows(kernel: jnp.ndarray, num_freq: int):
     return w_x, jnp.concatenate(sin_rows, axis=0), jnp.concatenate(cos_rows, axis=0)
 
 
-def _mlp_kernel(
-    pts_ref, dirs_ref,
-    sx_ref, sd_ref,
-    w1x_ref, w1s_ref, w1c_ref, b1_ref,
-    wx0_ref, bx0_ref, wx1_ref, bx1_ref, wx2_ref, bx2_ref,
-    wfeat_ref, bfeat_ref, walpha_ref, balpha_ref,
-    wdf_ref, wdx_ref, wds_ref, wdc_ref, bdir_ref,
-    wrgb_ref, brgb_ref,
-    out_ref,
-):
+def _make_mlp_kernel(compute_dtype):
+    """Kernel factory. ``compute_dtype`` sets the matmul INPUT dtype (weights
+    and activations); accumulation is always f32 via preferred_element_type.
+
+    Precision note for bfloat16: the sinusoid arguments must stay f32 — the
+    top frequency scales positions by 2^9, and bf16's ~8-bit mantissa would
+    randomize the phase — so ``scaled`` matmuls and sin/cos run in f32 and
+    only the wide feature matmuls drop to bf16 (MXU-native, 2x rate).
+    """
     f32 = jnp.float32
-    pts = pts_ref[:]
-    dirs = dirs_ref[:]
 
-    # Encoded layer-1 input, folded into row-sliced matmuls (no concat).
-    scaled = jnp.dot(pts, sx_ref[:], preferred_element_type=f32)  # (T, 30)
-    h = (
-        jnp.dot(pts, w1x_ref[:], preferred_element_type=f32)
-        + jnp.dot(jnp.sin(scaled), w1s_ref[:], preferred_element_type=f32)
-        + jnp.dot(jnp.cos(scaled), w1c_ref[:], preferred_element_type=f32)
-        + b1_ref[:]
-    )
-    for w_ref, b_ref in ((wx0_ref, bx0_ref), (wx1_ref, bx1_ref), (wx2_ref, bx2_ref)):
-        h = jnp.maximum(
-            jnp.dot(h, w_ref[:], preferred_element_type=f32) + b_ref[:], 0.0
+    def kernel(
+        pts_ref, dirs_ref,
+        sx_ref, sd_ref,
+        w1x_ref, w1s_ref, w1c_ref, b1_ref,
+        wx0_ref, bx0_ref, wx1_ref, bx1_ref, wx2_ref, bx2_ref,
+        wfeat_ref, bfeat_ref, walpha_ref, balpha_ref,
+        wdf_ref, wdx_ref, wds_ref, wdc_ref, bdir_ref,
+        wrgb_ref, brgb_ref,
+        out_ref,
+    ):
+        def c(x):
+            return x.astype(compute_dtype)
+
+        pts = pts_ref[:]
+        dirs = dirs_ref[:]
+
+        # Encoded layer-1 input, folded into row-sliced matmuls (no concat).
+        scaled = jnp.dot(pts, sx_ref[:], preferred_element_type=f32)  # (T, 30) f32
+        h = (
+            jnp.dot(c(pts), w1x_ref[:], preferred_element_type=f32)
+            + jnp.dot(c(jnp.sin(scaled)), w1s_ref[:], preferred_element_type=f32)
+            + jnp.dot(c(jnp.cos(scaled)), w1c_ref[:], preferred_element_type=f32)
+            + b1_ref[:]
         )
-    feat = jnp.maximum(
-        jnp.dot(h, wfeat_ref[:], preferred_element_type=f32) + bfeat_ref[:], 0.0
-    )
-    alpha = jnp.dot(h, walpha_ref[:], preferred_element_type=f32) + balpha_ref[:]
+        for w_ref, b_ref in (
+            (wx0_ref, bx0_ref), (wx1_ref, bx1_ref), (wx2_ref, bx2_ref)
+        ):
+            h = jnp.maximum(
+                jnp.dot(c(h), w_ref[:], preferred_element_type=f32) + b_ref[:], 0.0
+            )
+        feat = jnp.maximum(
+            jnp.dot(c(h), wfeat_ref[:], preferred_element_type=f32) + bfeat_ref[:],
+            0.0,
+        )
+        alpha = jnp.dot(c(h), walpha_ref[:], preferred_element_type=f32) + balpha_ref[:]
 
-    # Direction branch: cat(feat, enc(dirs)) @ Wdir folded the same way.
-    dscaled = jnp.dot(dirs, sd_ref[:], preferred_element_type=f32)  # (T, 12)
-    hd = (
-        jnp.dot(feat, wdf_ref[:], preferred_element_type=f32)
-        + jnp.dot(dirs, wdx_ref[:], preferred_element_type=f32)
-        + jnp.dot(jnp.sin(dscaled), wds_ref[:], preferred_element_type=f32)
-        + jnp.dot(jnp.cos(dscaled), wdc_ref[:], preferred_element_type=f32)
-        + bdir_ref[:]
-    )
-    hd = jnp.maximum(hd, 0.0)
-    rgb = jnp.dot(hd, wrgb_ref[:], preferred_element_type=f32) + brgb_ref[:]
-    out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
+        # Direction branch: cat(feat, enc(dirs)) @ Wdir folded the same way.
+        dscaled = jnp.dot(dirs, sd_ref[:], preferred_element_type=f32)  # (T, 12)
+        hd = (
+            jnp.dot(c(feat), wdf_ref[:], preferred_element_type=f32)
+            + jnp.dot(c(dirs), wdx_ref[:], preferred_element_type=f32)
+            + jnp.dot(c(jnp.sin(dscaled)), wds_ref[:], preferred_element_type=f32)
+            + jnp.dot(c(jnp.cos(dscaled)), wdc_ref[:], preferred_element_type=f32)
+            + bdir_ref[:]
+        )
+        hd = jnp.maximum(hd, 0.0)
+        rgb = jnp.dot(c(hd), wrgb_ref[:], preferred_element_type=f32) + brgb_ref[:]
+        out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
+
+    return kernel
 
 
-def _prepare_weights(params: Params, dtype):
-    """Host-side weight re-layout for the kernel (pure permutations/casts)."""
+def _prepare_weights(params: Params, compute_dtype):
+    """Host-side weight re-layout for the kernel (pure permutations/casts).
+
+    Weight matrices are cast to ``compute_dtype`` (matmul inputs); biases and
+    the frequency-selection matrices stay float32 (f32 accumulate / f32
+    sinusoid arguments).
+    """
     p = params
     w1x, w1s, w1c = _split_rows(jnp.asarray(p["layer1"]["kernel"]), _NUM_FREQ_XYZ)
     wdir = jnp.asarray(p["layers_dir"][0]["kernel"])  # (128 + 27, 64)
     wdf = wdir[:_HIDDEN]
     wdx, wds, wdc = _split_rows(wdir[_HIDDEN:], _NUM_FREQ_DIR)
 
-    def c(x):
-        return jnp.asarray(x, dtype)
+    def w(x):
+        return jnp.asarray(x, compute_dtype)
+
+    def f(x):
+        return jnp.asarray(x, jnp.float32)
 
     return (
-        c(_freq_matrix(_NUM_FREQ_XYZ)), c(_freq_matrix(_NUM_FREQ_DIR)),
-        c(w1x), c(w1s), c(w1c), c(p["layer1"]["bias"]),
-        c(p["layers_xyz"][0]["kernel"]), c(p["layers_xyz"][0]["bias"]),
-        c(p["layers_xyz"][1]["kernel"]), c(p["layers_xyz"][1]["bias"]),
-        c(p["layers_xyz"][2]["kernel"]), c(p["layers_xyz"][2]["bias"]),
-        c(p["fc_feat"]["kernel"]), c(p["fc_feat"]["bias"]),
-        c(p["fc_alpha"]["kernel"]), c(p["fc_alpha"]["bias"]),
-        c(wdf), c(wdx), c(wds), c(wdc), c(p["layers_dir"][0]["bias"]),
-        c(p["fc_rgb"]["kernel"]), c(p["fc_rgb"]["bias"]),
+        f(_freq_matrix(_NUM_FREQ_XYZ)), f(_freq_matrix(_NUM_FREQ_DIR)),
+        w(w1x), w(w1s), w(w1c), f(p["layer1"]["bias"]),
+        w(p["layers_xyz"][0]["kernel"]), f(p["layers_xyz"][0]["bias"]),
+        w(p["layers_xyz"][1]["kernel"]), f(p["layers_xyz"][1]["bias"]),
+        w(p["layers_xyz"][2]["kernel"]), f(p["layers_xyz"][2]["bias"]),
+        w(p["fc_feat"]["kernel"]), f(p["fc_feat"]["bias"]),
+        w(p["fc_alpha"]["kernel"]), f(p["fc_alpha"]["bias"]),
+        w(wdf), w(wdx), w(wds), w(wdc), f(p["layers_dir"][0]["bias"]),
+        w(p["fc_rgb"]["kernel"]), f(p["fc_rgb"]["bias"]),
     )
 
 
@@ -166,18 +192,148 @@ def supports_fused(model, params: Params) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _make_ray_kernel(compute_dtype, samples_per_ray: int):
+    """Ray-major kernel: the view-direction branch is hoisted out — the
+    caller passes each ray's precomputed direction contribution
+    ``dcontrib = enc(dir) @ Wdir_enc-rows`` (R, 64), which the kernel
+    repeats across that ray's samples. Removes 24 transcendentals and the
+    whole dir-encoding matmul chain per point (samples_per_ray-fold
+    redundant in the flat formulation)."""
+    f32 = jnp.float32
+
+    def kernel(
+        pts_ref, dcontrib_ref,
+        sx_ref,
+        w1x_ref, w1s_ref, w1c_ref, b1_ref,
+        wx0_ref, bx0_ref, wx1_ref, bx1_ref, wx2_ref, bx2_ref,
+        wfeat_ref, bfeat_ref, walpha_ref, balpha_ref,
+        wdf_ref, bdir_ref,
+        wrgb_ref, brgb_ref,
+        out_ref,
+    ):
+        def c(x):
+            return x.astype(compute_dtype)
+
+        pts = pts_ref[:]
+        scaled = jnp.dot(pts, sx_ref[:], preferred_element_type=f32)
+        h = (
+            jnp.dot(c(pts), w1x_ref[:], preferred_element_type=f32)
+            + jnp.dot(c(jnp.sin(scaled)), w1s_ref[:], preferred_element_type=f32)
+            + jnp.dot(c(jnp.cos(scaled)), w1c_ref[:], preferred_element_type=f32)
+            + b1_ref[:]
+        )
+        for w_ref, b_ref in (
+            (wx0_ref, bx0_ref), (wx1_ref, bx1_ref), (wx2_ref, bx2_ref)
+        ):
+            h = jnp.maximum(
+                jnp.dot(c(h), w_ref[:], preferred_element_type=f32) + b_ref[:], 0.0
+            )
+        feat = jnp.maximum(
+            jnp.dot(c(h), wfeat_ref[:], preferred_element_type=f32) + bfeat_ref[:],
+            0.0,
+        )
+        alpha = jnp.dot(c(h), walpha_ref[:], preferred_element_type=f32) + balpha_ref[:]
+
+        # Per-ray contribution repeated across that ray's samples via
+        # broadcast+reshape (jnp.repeat lowers to an unsupported scatter).
+        dc_rays = dcontrib_ref[:]
+        dc = jnp.broadcast_to(
+            dc_rays[:, None, :],
+            (dc_rays.shape[0], samples_per_ray, dc_rays.shape[1]),
+        ).reshape(pts.shape[0], dc_rays.shape[1])
+        hd = jnp.maximum(
+            jnp.dot(c(feat), wdf_ref[:], preferred_element_type=f32) + dc + bdir_ref[:],
+            0.0,
+        )
+        rgb = jnp.dot(c(hd), wrgb_ref[:], preferred_element_type=f32) + brgb_ref[:]
+        out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rays_per_tile", "interpret", "compute_dtype")
+)
+def fused_flexible_mlp_rays(
+    params: Params,
+    pts: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    rays_per_tile: int = 16,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Ray-major fused evaluation: pts (R, S, 3) + per-RAY viewdirs (R, 3)
+    -> raw radiance field (R, S, 4). The direction branch's encoded-feature
+    matmul happens once per ray in XLA; the kernel adds the resulting (R, 64)
+    contribution to every sample of its ray.
+    """
+    from ...ops.encoding import positional_encoding  # local to avoid cycles
+
+    r, s = pts.shape[0], pts.shape[1]
+    p = params
+    wdir = jnp.asarray(p["layers_dir"][0]["kernel"])
+    direnc = positional_encoding(viewdirs, _NUM_FREQ_DIR)  # (R, 27)
+    dcontrib = jnp.dot(
+        direnc, wdir[_HIDDEN:], preferred_element_type=jnp.float32
+    )  # (R, 64)
+
+    padded_r = (r + rays_per_tile - 1) // rays_per_tile * rays_per_tile
+    if padded_r != r:
+        pts = jnp.pad(pts, ((0, padded_r - r), (0, 0), (0, 0)))
+        dcontrib = jnp.pad(dcontrib, ((0, padded_r - r), (0, 0)))
+
+    cdtype = jnp.dtype(compute_dtype)
+    all_w = _prepare_weights(params, cdtype)
+    # Drop the dir-branch pieces handled outside: keep sx (not sd) and wdf.
+    (sx, _sd, w1x, w1s, w1c, b1, wx0, bx0, wx1, bx1, wx2, bx2,
+     wfeat, bfeat, walpha, balpha, wdf, _wdx, _wds, _wdc, bdir,
+     wrgb, brgb) = all_w
+    weights = (sx, w1x, w1s, w1c, b1, wx0, bx0, wx1, bx1, wx2, bx2,
+               wfeat, bfeat, walpha, balpha, wdf, bdir, wrgb, brgb)
+
+    tile = rays_per_tile * s
+    flat_pts = pts.reshape(padded_r * s, 3).astype(jnp.float32)
+    grid = (padded_r // rays_per_tile,)
+    point_spec = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dc_spec = pl.BlockSpec(
+        (rays_per_tile, 64), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    weight_specs = [
+        pl.BlockSpec(
+            w.shape, lambda i, _nd=w.ndim: (0,) * _nd, memory_space=pltpu.VMEM
+        )
+        for w in weights
+    ]
+
+    out = pl.pallas_call(
+        _make_ray_kernel(cdtype, s),
+        out_shape=jax.ShapeDtypeStruct((padded_r * s, 4), jnp.float32),
+        grid=grid,
+        in_specs=[point_spec, dc_spec] + weight_specs,
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat_pts, dcontrib.astype(jnp.float32), *weights)
+    return out[: r * s].reshape(r, s, 4)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "interpret", "compute_dtype")
+)
 def fused_flexible_mlp(
     params: Params,
     pts: jnp.ndarray,
     viewdirs: jnp.ndarray,
     tile: int = 1024,
     interpret: bool = False,
+    compute_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Evaluate the default FlexibleNeRF radiance field, fused in VMEM.
 
     pts:      (N, 3) world-space sample points.
     viewdirs: (N, 3) per-point normalized view directions (pre-broadcast).
+    compute_dtype: "float32" (bit-exact vs the XLA path) or "bfloat16"
+      (MXU-native matmul inputs, f32 accumulation and f32 sinusoids —
+      ~1e-2 relative output error).
     Returns (N, 4) raw [r, g, b, sigma] in float32. N is padded to a tile
     multiple internally.
     """
@@ -187,7 +343,8 @@ def fused_flexible_mlp(
         pts = jnp.pad(pts, ((0, padded - n), (0, 0)))
         viewdirs = jnp.pad(viewdirs, ((0, padded - n), (0, 0)))
 
-    weights = _prepare_weights(params, jnp.float32)
+    cdtype = jnp.dtype(compute_dtype)
+    weights = _prepare_weights(params, cdtype)
     grid = (padded // tile,)
     point_spec = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     weight_specs = [
@@ -198,7 +355,7 @@ def fused_flexible_mlp(
     ]
 
     out = pl.pallas_call(
-        _mlp_kernel,
+        _make_mlp_kernel(cdtype),
         out_shape=jax.ShapeDtypeStruct((padded, 4), jnp.float32),
         grid=grid,
         in_specs=[point_spec, point_spec] + weight_specs,

@@ -76,8 +76,18 @@ def load_dataset(cfg):
     if getattr(ds, "cachedir", None):
         cache_path = ds.cachedir
         if os.path.isdir(cache_path):
-            cache_path = os.path.join(cache_path, "rays.npz")
-        ro, rd, targets, meta, extras = load_ray_cache(cache_path)
+            for name in ("rays.npz", "rays.nrc"):
+                cand = os.path.join(cache_path, name)
+                if os.path.exists(cand):
+                    cache_path = cand
+                    break
+        if cache_path.endswith(".nrc"):
+            from nerf_tpu import native
+
+            ro, rd, targets, meta = native.load_ray_cache_native(cache_path)
+            extras = {}
+        else:
+            ro, rd, targets, meta, extras = load_ray_cache(cache_path)
         return {
             "mode": "cached",
             "rays": (ro, rd, targets),
