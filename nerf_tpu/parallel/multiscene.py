@@ -93,6 +93,41 @@ def make_multiscene_train_step(
     return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
+def make_multiscene_train_loop(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    steps_per_call: int,
+    jit: bool = True,
+):
+    """K-step scan of the vmapped multi-scene step with on-device per-scene
+    ray sampling — one host dispatch per K steps x S scenes.
+
+    loop(state, ro (S,N,3), rd (S,N,3), tgt (S,N,3), base_key)
+      -> (state, StepMetrics with (steps_per_call, S)-shaped fields)
+    """
+    step_fn = make_multiscene_train_step(
+        model_coarse, model_fine, settings, optimizer, jit=False
+    )
+
+    def loop(state: TrainState, ro_store, rd_store, tgt_store, base_key):
+        def body(carry, _):
+            st = carry
+            step0 = st.step[0]
+            key = jax.random.fold_in(base_key, step0)
+            k_sample, k_step = jax.random.split(key)
+            batch = sample_multiscene_batch(
+                k_sample, ro_store, rd_store, tgt_store, batch_size
+            )
+            return step_fn(st, *batch, k_step)
+
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    return jax.jit(loop, donate_argnums=(0,)) if jit else loop
+
+
 def sample_multiscene_batch(
     key: jax.Array,
     ray_origins: jnp.ndarray,     # (S, N, 3) per-scene ray stores

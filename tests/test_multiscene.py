@@ -95,3 +95,20 @@ def test_sample_multiscene_batch():
     np.testing.assert_array_equal(np.asarray(b_rd), np.asarray(b_ro) + 1)
     # scene 0 rows come from scene 0's pool
     assert np.asarray(b_ro)[0].max() < N * 3
+
+
+def test_multiscene_loop_scans():
+    from nerf_tpu.parallel.multiscene import make_multiscene_train_loop
+
+    settings, model, opt = _setup()
+    S, N, B = 2, 64, 16
+    state = create_multiscene_state(model, None, opt, jax.random.PRNGKey(0), S)
+    loop = make_multiscene_train_loop(model, None, settings, opt, B, steps_per_call=5)
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.uniform(-1, 1, (S, N, 3)).astype(np.float32))
+    rd = jnp.asarray(rng.uniform(-1, 1, (S, N, 3)).astype(np.float32) - [0, 0, 1.5])
+    tgt = jnp.asarray(rng.uniform(0, 1, (S, N, 3)).astype(np.float32))
+    state, metrics = loop(state, ro, rd, tgt, jax.random.PRNGKey(1))
+    assert metrics.loss.shape == (5, S)
+    assert (np.asarray(state.step) == 5).all()
+    assert np.isfinite(np.asarray(metrics.loss)).all()

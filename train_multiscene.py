@@ -35,8 +35,7 @@ from nerf_tpu.engine.train import make_optimizer
 from nerf_tpu.models import FlexibleNeRFModel
 from nerf_tpu.parallel.multiscene import (
     create_multiscene_state,
-    make_multiscene_train_step,
-    sample_multiscene_batch,
+    make_multiscene_train_loop,
 )
 
 
@@ -93,21 +92,23 @@ def main():
     model = FlexibleNeRFModel(num_encoding_fn_xyz=6, num_encoding_fn_dir=4)
     opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
     state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), S)
-    step = make_multiscene_train_step(model, model, settings, opt)
+    steps_per_call = max(1, min(args.print_every, args.iters))
+    loop = make_multiscene_train_loop(
+        model, model, settings, opt, args.batch, steps_per_call
+    )
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    for i in range(args.iters):
-        key, k_s, k_t = jax.random.split(key, 3)
-        batch = sample_multiscene_batch(k_s, ro, rd, tgt, args.batch)
-        state, metrics = step(state, *batch, k_t)
-        if i % args.print_every == 0 or i == args.iters - 1:
-            psnrs = np.asarray(metrics.psnr)
-            print(
-                f"iter {i:5d} mean psnr {psnrs.mean():6.2f} "
-                f"per-scene [{' '.join(f'{p:.1f}' for p in psnrs)}] "
-                f"rays/s {S * args.batch * (i + 1) / (time.time() - t0):,.0f}"
-            )
+    for i in range(0, args.iters, steps_per_call):
+        key, k = jax.random.split(key)
+        state, metrics = loop(state, ro, rd, tgt, k)
+        psnrs = np.asarray(metrics.psnr[-1])  # last step of the call
+        i_end = min(i + steps_per_call, args.iters) - 1
+        print(
+            f"iter {i_end:5d} mean psnr {psnrs.mean():6.2f} "
+            f"per-scene [{' '.join(f'{p:.1f}' for p in psnrs)}] "
+            f"rays/s {S * args.batch * (i_end + 1) / (time.time() - t0):,.0f}"
+        )
     dt = time.time() - t0
     total_rays = S * args.batch * args.iters
     print(
