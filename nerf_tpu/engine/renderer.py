@@ -77,6 +77,11 @@ class RenderSettings:
     # Silently falls back to XLA when the model shape isn't the fusable
     # default (ops/pallas/mlp.py supports_fused).
     use_pallas: bool = False
+    # Rematerialize the encode+MLP evaluation in the backward pass instead of
+    # storing per-point activations (jax.checkpoint). Trades ~1/3 more FLOPs
+    # for O(points x hidden) less HBM traffic — wins for large ray batches
+    # where training is activation-bandwidth bound.
+    remat: bool = False
 
     def eval_variant(self) -> "RenderSettings":
         """Deterministic copy for validation/eval rendering."""
@@ -131,7 +136,13 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
 
         if supports_fused(model, params) and pts.ndim == 3:
             return fused_flexible_mlp_rays(params, pts, viewdirs)
-    return model.apply(params, encode_points(pts, viewdirs, s))
+
+    def eval_fn(p, pts_, viewdirs_):
+        return model.apply(p, encode_points(pts_, viewdirs_, s))
+
+    if s.remat:
+        eval_fn = jax.checkpoint(eval_fn)
+    return eval_fn(params, pts, viewdirs)
 
 
 def render_rays(

@@ -119,3 +119,18 @@ def test_default_config_complete():
     cfg = get_default_config()
     for section in ["experiment", "dataset", "models", "optimizer", "scheduler", "nerf"]:
         assert section in cfg
+
+
+def test_reference_llff_generic_config_loads():
+    cfg = load_config("/root/reference/config/llff.yml")
+    assert cfg.dataset.type == "llff"
+    s = render_settings_from_config(cfg, "train", hwf=(378, 504, 407.0))
+    assert s.use_ndc is True
+
+
+def test_own_config_variants_load():
+    for path in ["configs/llff.yml", "configs/tiny.yml", "configs/lego.yml",
+                 "configs/fern.yml", "configs/lego_lowres.yml",
+                 "configs/synthetic_smoke.yml"]:
+        cfg = load_config(path)
+        render_settings_from_config(cfg, "validation", hwf=(100, 100, 50.0))
