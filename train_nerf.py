@@ -310,8 +310,15 @@ def main():
             )
 
         done = i_end + 1  # completed iterations
+        prev_done = done - steps_per_call
+
+        def crossed(every: int) -> bool:
+            # True when a multiple of `every` falls inside (prev_done, done] —
+            # robust when `every` is not a multiple of steps_per_call.
+            return done // every > prev_done // every
+
         if val_images is not None and (
-            done % int(cfg.experiment.validate_every) == 0 or done >= train_iters
+            crossed(int(cfg.experiment.validate_every)) or done >= train_iters
         ):
             t_val = time.time()
             pose = jnp.asarray(np.asarray(val_poses[0])[:3, :4], jnp.float32)
@@ -346,7 +353,7 @@ def main():
                 f"({time.time() - t_val:.2f}s)"
             )
 
-        if done % int(cfg.experiment.save_every) == 0 or done >= train_iters:
+        if crossed(int(cfg.experiment.save_every)) or done >= train_iters:
             save_checkpoint(
                 os.path.join(logdir, f"checkpoint{done:05d}.ntc"),
                 {
