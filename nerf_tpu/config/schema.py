@@ -91,6 +91,9 @@ def _default_mode_cfg(train: bool) -> dict:
         "white_background": False,
         "radiance_field_noise_std": 0.2 if train else 0.0,
         "lindisp": False,
+        # TPU execution knobs (no reference equivalent):
+        "use_pallas": False,   # fused Pallas radiance-field kernel (eval only)
+        "remat": False,        # rematerialize MLP activations in backward
     }
     if train:
         cfg["num_random_rays"] = 1024
@@ -146,6 +149,8 @@ def render_settings_from_config(
         include_input_dir=bool(model_cfg.include_input_dir),
         log_sampling_xyz=bool(model_cfg.log_sampling_xyz),
         log_sampling_dir=bool(model_cfg.log_sampling_dir),
+        use_pallas=bool(getattr(mode_cfg, "use_pallas", False)),
+        remat=bool(getattr(mode_cfg, "remat", False)),
     )
 
 

@@ -17,6 +17,7 @@ numpy random-choice ray selection (train_nerf.py:214-226) becomes a keyed
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -107,6 +108,51 @@ class StepMetrics(NamedTuple):
     psnr: jnp.ndarray
 
 
+def make_loss_fn(model_coarse, model_fine, settings: RenderSettings):
+    """The single definition of the training loss: MSE(coarse) + MSE(fine)
+    on the rendered ray batch (reference train_nerf.py:244-258). Shared by
+    the serial, sharded, and multi-scene step builders so the convention
+    (including PSNR-from-combined-loss) lives in exactly one place.
+
+    Returns loss_fn(trainable, ro, rd, target, key) -> (loss, (coarse, fine)).
+    """
+    # The fused Pallas kernel is forward-only (no AD rule); anything built on
+    # this loss differentiates the XLA path.
+    settings = dataclasses.replace(settings, use_pallas=False)
+
+    def loss_fn(trainable, ro, rd, target, key):
+        out = render_rays(
+            model_coarse, trainable["coarse"],
+            model_fine, trainable["fine"],
+            ro, rd, settings, key,
+        )
+        coarse_loss = img2mse(out.coarse.rgb, target)
+        fine_loss = (
+            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
+        )
+        return coarse_loss + fine_loss, (coarse_loss, fine_loss)
+
+    return loss_fn
+
+
+def guard_non_finite(finite, new_trainable, trainable, new_opt_state, opt_state):
+    """Roll back params + optimizer state when ``finite`` is False (NaN guard)."""
+    guarded_trainable = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), new_trainable, trainable
+    )
+    guarded_opt = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+    )
+    return guarded_trainable, guarded_opt
+
+
+def all_finite(loss, grads):
+    finite = jnp.isfinite(loss)
+    for g in jax.tree.leaves(grads):
+        finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+    return finite
+
+
 def make_train_step(
     model_coarse,
     model_fine,
@@ -126,19 +172,7 @@ def make_train_step(
     failure-detection mechanism so a single bad batch can't destroy a long
     run (the reference has no failure handling at all, SURVEY.md §5).
     """
-
-    def loss_fn(trainable, ro, rd, target, key):
-        out = render_rays(
-            model_coarse, trainable["coarse"],
-            model_fine, trainable["fine"],
-            ro, rd, settings, key,
-        )
-        coarse_loss = img2mse(out.coarse.rgb, target)
-        fine_loss = (
-            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
-        )
-        loss = coarse_loss + fine_loss
-        return loss, (coarse_loss, fine_loss)
+    loss_fn = make_loss_fn(model_coarse, model_fine, settings)
 
     def train_step(state: TrainState, ro, rd, target, key):
         trainable = {"coarse": state.params_coarse, "fine": state.params_fine}
@@ -148,20 +182,9 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
         if nan_guard:
-            finite = jnp.isfinite(loss)
-            for g in jax.tree.leaves(grads):
-                finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
-            new_trainable = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old), new_trainable, trainable
-            )
-            opt_state = jax.tree.map(
-                lambda new, old: (
-                    jnp.where(finite, new, old)
-                    if isinstance(new, jnp.ndarray) and new.ndim >= 0
-                    else new
-                ),
-                opt_state,
-                state.opt_state,
+            new_trainable, opt_state = guard_non_finite(
+                all_finite(loss, grads), new_trainable, trainable,
+                opt_state, state.opt_state,
             )
         new_state = TrainState(
             state.step + 1, new_trainable["coarse"], new_trainable["fine"], opt_state

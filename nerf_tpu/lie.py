@@ -89,23 +89,71 @@ def so3_exp(omega: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (lieutils.py SO3.Log)."""
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (lieutils.py SO3.Log).
+
+    Three numerically-distinct branches:
+      * theta ~ 0: first-order Taylor of theta/(2 sin theta)
+      * generic:   vee(antisymmetric part) * theta / sin(theta)
+      * theta ~ pi: the antisymmetric part cancels catastrophically, so the
+        axis is recovered from the symmetric part via diag(R) = 2 n n^T - I
+        (largest-diagonal column for stability), with signs fixed from the
+        (still informative) off-diagonal sums.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + _EPS, 1.0 - _EPS)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
-    # vee of the antisymmetric part, scaled by theta / (2 sin theta)
+
+    # Generic / small-angle branch.
     antisym = 0.5 * (R - jnp.swapaxes(R, -1, -2))
-    scale_theta = theta[..., None] / jnp.where(
-        theta[..., None] < _TAYLOR_THRESHOLD,
-        jnp.ones_like(theta[..., None]),
-        jnp.sin(theta[..., None]),
+    sin_theta = jnp.sin(theta)[..., None]
+    small = theta[..., None] < _TAYLOR_THRESHOLD
+    generic_scale = theta[..., None] / jnp.where(
+        sin_theta < _EPS, jnp.ones_like(sin_theta), sin_theta
     )
-    scale = jnp.where(
-        theta[..., None] < _TAYLOR_THRESHOLD,
-        1.0 + theta[..., None] ** 2 / 6.0,
-        scale_theta,
-    )
-    return so3_vee(antisym) * scale
+    scale = jnp.where(small, 1.0 + theta[..., None] ** 2 / 6.0, generic_scale)
+    w_generic = so3_vee(antisym) * scale
+
+    # Near-pi branch: n_i^2 = (R_ii + 1) / 2; pick the largest diagonal as
+    # the reference component and derive the other signs from
+    # R_ij + R_ji = 2 n_i n_j (theta = pi exactly assumed; the blend window
+    # below keeps the approximation error negligible).
+    # At theta = pi: R = 2 n n^T - I, so n_i^2 = (R_ii + 1)/2 and
+    # R_ij + R_ji = 4 n_i n_j for i != j. Build one axis candidate per pivot
+    # i (n_i taken positive, others from the off-diagonals), then select the
+    # candidate whose pivot has the largest diagonal (best-conditioned).
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    n_abs = jnp.sqrt(jnp.maximum((diag + 1.0) * 0.5, 0.0))
+    sym = {
+        (0, 1): R[..., 0, 1] + R[..., 1, 0],
+        (0, 2): R[..., 0, 2] + R[..., 2, 0],
+        (1, 2): R[..., 1, 2] + R[..., 2, 1],
+    }
+
+    def candidate(pivot: int) -> jnp.ndarray:
+        denom = jnp.maximum(4.0 * n_abs[..., pivot], _EPS)
+        comps = []
+        for j in range(3):
+            if j == pivot:
+                comps.append(n_abs[..., pivot])
+            else:
+                key = (min(pivot, j), max(pivot, j))
+                comps.append(sym[key] / denom)
+        return jnp.stack(comps, axis=-1)
+
+    candidates = jnp.stack([candidate(0), candidate(1), candidate(2)], axis=-2)
+    k = jnp.argmax(diag, axis=-1)
+    axis = jnp.take_along_axis(
+        candidates, k[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), _EPS)
+    # Keep continuity with the generic branch: choose the sign that agrees
+    # with vee(antisym) when it is non-negligible.
+    v = so3_vee(antisym)
+    sign = jnp.where(jnp.sum(v * axis, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
+    w_pi = axis * sign * theta[..., None]
+
+    near_pi = (jnp.pi - theta[..., None]) < 1e-3
+    return jnp.where(near_pi, w_pi, w_generic)
 
 
 def se3_hat(xi: jnp.ndarray) -> jnp.ndarray:

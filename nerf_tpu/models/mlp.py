@@ -246,6 +246,8 @@ class PaperNeRFModel:
 
     @property
     def dim_dir(self) -> int:
+        if not self.use_viewdirs:
+            return 0
         return _xyz_dir_dims(
             self.num_encoding_fn_xyz, self.num_encoding_fn_dir,
             self.include_input_xyz, self.include_input_dir,
@@ -266,7 +268,8 @@ class PaperNeRFModel:
             else:
                 in_dim = 256
             layers_xyz.append(linear_init(ks[i], in_dim, 256, dtype))
-        layers_dir = [linear_init(ks[8], 256 + self.dim_dir, 128, dtype)]
+        dir_in = 256 + self.dim_dir if self.use_viewdirs else 256
+        layers_dir = [linear_init(ks[8], dir_in, 128, dtype)]
         for i in range(3):
             layers_dir.append(linear_init(ks[9 + i], 128, 128, dtype))
         return {

@@ -51,10 +51,19 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True,
                     capture_output=True,
                 )
-            except (subprocess.CalledProcessError, FileNotFoundError):
-                _build_failed = True
-                return None
-        lib = ctypes.CDLL(_LIB_PATH)
+            except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+                # A stale-but-loadable library is still usable; only give up
+                # when there is nothing to load at all.
+                if not os.path.exists(_LIB_PATH):
+                    _build_failed = True
+                    return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # Incompatible binary (foreign arch/libc from a checkout) —
+            # fall back to the numpy path instead of raising.
+            _build_failed = True
+            return None
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.nerf_build_ray_store.argtypes = [
             f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -13,12 +13,15 @@ the sharding system rather than hand-written collectives.
 
 RNG: each shard folds ``lax.axis_index("data")`` into the step key so
 stratified jitter / sigma noise differ across shards but stay reproducible.
+
+The loss definition is shared with the serial engine (engine.train
+.make_loss_fn), as are the NaN-guard helpers, so DP runs have identical
+semantics including failure protection.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,42 +29,24 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine.renderer import RenderSettings, render_rays
-from ..engine.train import StepMetrics, TrainState
-from ..ops.math import img2mse, mse2psnr
+from ..engine.train import (
+    StepMetrics,
+    TrainState,
+    all_finite,
+    guard_non_finite,
+    make_loss_fn,
+)
+from ..ops.math import mse2psnr
 from .mesh import DATA_AXIS
 
 
-def make_parallel_train_step(
-    model_coarse,
-    model_fine,
-    settings: RenderSettings,
-    optimizer: optax.GradientTransformation,
-    mesh: Mesh,
-    axis: str = DATA_AXIS,
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array],
-              Tuple[TrainState, StepMetrics]]:
-    """Build the sharded training step.
-
-    step(state, ro (B,3), rd (B,3), target (B,3), key) -> (state, metrics)
-    with B divisible by the mesh's data-axis size. State is replicated;
-    ray arrays are sharded on axis 0.
-    """
-
-    def loss_fn(trainable, ro, rd, target, key):
-        out = render_rays(
-            model_coarse, trainable["coarse"],
-            model_fine, trainable["fine"],
-            ro, rd, settings, key,
-        )
-        coarse_loss = img2mse(out.coarse.rgb, target)
-        fine_loss = (
-            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
-        )
-        return coarse_loss + fine_loss, (coarse_loss, fine_loss)
+def _make_shard_step(
+    model_coarse, model_fine, settings, optimizer, axis: str, nan_guard: bool
+):
+    """One DP step for a single shard: local grads -> pmean -> update."""
+    loss_fn = make_loss_fn(model_coarse, model_fine, settings)
 
     def shard_step(state: TrainState, ro, rd, target, key):
-        # Distinct per-shard randomness, deterministic in (key, shard index).
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         trainable = {"coarse": state.params_coarse, "fine": state.params_fine}
         (loss, (closs, floss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, ro, rd, target, key
@@ -72,14 +57,47 @@ def make_parallel_train_step(
         closs = jax.lax.pmean(closs, axis)
         floss = jax.lax.pmean(floss, axis)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
+        new_trainable = optax.apply_updates(trainable, updates)
+        if nan_guard:
+            new_trainable, opt_state = guard_non_finite(
+                all_finite(loss, grads), new_trainable, trainable,
+                opt_state, state.opt_state,
+            )
         new_state = TrainState(
-            state.step + 1, trainable["coarse"], trainable["fine"], opt_state
+            state.step + 1, new_trainable["coarse"], new_trainable["fine"], opt_state
         )
         return new_state, StepMetrics(loss, closs, floss, mse2psnr(loss))
 
+    return shard_step
+
+
+def make_parallel_train_step(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    nan_guard: bool = False,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array],
+              Tuple[TrainState, StepMetrics]]:
+    """Build the sharded training step.
+
+    step(state, ro (B,3), rd (B,3), target (B,3), key) -> (state, metrics)
+    with B divisible by the mesh's data-axis size. State is replicated;
+    ray arrays are sharded on axis 0.
+    """
+    shard_step = _make_shard_step(
+        model_coarse, model_fine, settings, optimizer, axis, nan_guard
+    )
+
+    def keyed_step(state, ro, rd, target, key):
+        # Distinct per-shard randomness, deterministic in (key, shard index).
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return shard_step(state, ro, rd, target, key)
+
     sharded = jax.shard_map(
-        shard_step,
+        keyed_step,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
@@ -97,6 +115,7 @@ def make_parallel_train_loop(
     batch_size: int,
     steps_per_call: int,
     axis: str = DATA_AXIS,
+    nan_guard: bool = False,
 ):
     """Sharded multi-step training loop: lax.scan of full DP steps inside
     shard_map, with per-device on-device ray sampling from the local shard.
@@ -112,18 +131,9 @@ def make_parallel_train_loop(
             f"global batch {batch_size} not divisible by mesh axis {mesh.shape[axis]}"
         )
     local_batch = batch_size // mesh.shape[axis]
-
-    def loss_fn(trainable, ro, rd, target, key):
-        out = render_rays(
-            model_coarse, trainable["coarse"],
-            model_fine, trainable["fine"],
-            ro, rd, settings, key,
-        )
-        coarse_loss = img2mse(out.coarse.rgb, target)
-        fine_loss = (
-            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
-        )
-        return coarse_loss + fine_loss, (coarse_loss, fine_loss)
+    shard_step = _make_shard_step(
+        model_coarse, model_fine, settings, optimizer, axis, nan_guard
+    )
 
     def shard_loop(state: TrainState, ro_store, rd_store, tgt_store, base_key):
         shard_id = jax.lax.axis_index(axis)
@@ -133,20 +143,9 @@ def make_parallel_train_loop(
             key = jax.random.fold_in(jax.random.fold_in(base_key, st.step), shard_id)
             k_sample, k_step = jax.random.split(key)
             idx = jax.random.randint(k_sample, (local_batch,), 0, ro_store.shape[0])
-            trainable = {"coarse": st.params_coarse, "fine": st.params_fine}
-            (loss, (closs, floss)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(trainable, ro_store[idx], rd_store[idx], tgt_store[idx], k_step)
-            grads = jax.lax.pmean(grads, axis)
-            loss = jax.lax.pmean(loss, axis)
-            closs = jax.lax.pmean(closs, axis)
-            floss = jax.lax.pmean(floss, axis)
-            updates, opt_state = optimizer.update(grads, st.opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
-            st = TrainState(
-                st.step + 1, trainable["coarse"], trainable["fine"], opt_state
+            return shard_step(
+                st, ro_store[idx], rd_store[idx], tgt_store[idx], k_step
             )
-            return st, StepMetrics(loss, closs, floss, mse2psnr(loss))
 
         return jax.lax.scan(body, state, None, length=steps_per_call)
 

@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..engine.renderer import RenderSettings, render_rays
-from ..engine.train import StepMetrics, TrainState
-from ..ops.math import img2mse, mse2psnr
+from ..engine.renderer import RenderSettings
+from ..engine.train import StepMetrics, TrainState, make_loss_fn
+from ..ops.math import mse2psnr
 
 
 def create_multiscene_state(
@@ -61,17 +61,7 @@ def make_multiscene_train_step(
     state, and RNG stream; the whole update is one XLA program.
     """
 
-    def loss_fn(trainable, ro, rd, target, key):
-        out = render_rays(
-            model_coarse, trainable["coarse"],
-            model_fine, trainable["fine"],
-            ro, rd, settings, key,
-        )
-        coarse_loss = img2mse(out.coarse.rgb, target)
-        fine_loss = (
-            img2mse(out.fine.rgb, target) if out.fine is not None else jnp.zeros(())
-        )
-        return coarse_loss + fine_loss, (coarse_loss, fine_loss)
+    loss_fn = make_loss_fn(model_coarse, model_fine, settings)
 
     def one_scene_step(state: TrainState, ro, rd, target, key):
         trainable = {"coarse": state.params_coarse, "fine": state.params_fine}

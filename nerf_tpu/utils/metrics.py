@@ -72,35 +72,27 @@ def ssim(
     g = np.exp(-(offsets ** 2) / (2.0 * filter_sigma ** 2))
     g = g / g.sum()
 
+    def conv1d(x: np.ndarray, axis: int) -> np.ndarray:
+        # Separable Gaussian along one axis with edge replication — pure
+        # numpy so the metric is identical in every environment (a
+        # scipy-vs-fallback split would silently change reported numbers).
+        x = np.moveaxis(x, axis, 0)
+        padded = np.concatenate(
+            [np.repeat(x[:1], hw, axis=0), x, np.repeat(x[-1:], hw, axis=0)], axis=0
+        )
+        out = np.zeros_like(x)
+        for i, w in enumerate(g):
+            out += w * padded[i : i + x.shape[0]]
+        return np.moveaxis(out, 0, axis)
+
     def filt(x):
-        # separable Gaussian blur over H and W with edge truncation
-        from scipy.ndimage import convolve1d  # noqa: PLC0415
+        return conv1d(conv1d(x, 0), 1)
 
-        y = convolve1d(x, g, axis=0, mode="nearest")
-        return convolve1d(y, g, axis=1, mode="nearest")
-
-    try:
-        mu_a = filt(a)
-        mu_b = filt(b)
-        var_a = filt(a * a) - mu_a * mu_a
-        var_b = filt(b * b) - mu_b * mu_b
-        cov = filt(a * b) - mu_a * mu_b
-    except ImportError:
-        # numpy-only fallback: valid-region box filtering via cumsum
-        def box(x):
-            k = filter_size
-            c = np.cumsum(np.cumsum(x, axis=0), axis=1)
-            c = np.pad(c, ((1, 0), (1, 0)) + ((0, 0),) * (x.ndim - 2))
-            out = (
-                c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
-            ) / (k * k)
-            return out
-
-        mu_a = box(a)
-        mu_b = box(b)
-        var_a = box(a * a) - mu_a * mu_a
-        var_b = box(b * b) - mu_b * mu_b
-        cov = box(a * b) - mu_a * mu_b
+    mu_a = filt(a)
+    mu_b = filt(b)
+    var_a = filt(a * a) - mu_a * mu_a
+    var_b = filt(b * b) - mu_b * mu_b
+    cov = filt(a * b) - mu_a * mu_b
 
     c1 = (k1 ** 2)
     c2 = (k2 ** 2)

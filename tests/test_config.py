@@ -134,3 +134,13 @@ def test_own_config_variants_load():
                  "configs/synthetic_smoke.yml"]:
         cfg = load_config(path)
         render_settings_from_config(cfg, "validation", hwf=(100, 100, 50.0))
+
+
+def test_tpu_knobs_map_from_config():
+    cfg = get_default_config()
+    cfg.nerf.train.remat = True
+    cfg.nerf.train.use_pallas = True
+    s = render_settings_from_config(cfg, "train")
+    assert s.remat is True and s.use_pallas is True
+    v = render_settings_from_config(cfg, "validation")
+    assert v.remat is False and v.use_pallas is False

@@ -70,3 +70,22 @@ def test_se3_pure_translation():
     T = np.asarray(se3_exp(xi))[0]
     np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-6)
     np.testing.assert_allclose(T[:3, 3], [1, 2, 3], atol=1e-6)
+
+
+def test_so3_log_near_pi():
+    """The antisymmetric-part formula cancels at theta -> pi; the pi branch
+    must recover the axis from the symmetric part (code-review finding)."""
+    # exact 180 degrees about x
+    R = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
+    w = np.asarray(so3_log(R[None]))[0]
+    np.testing.assert_allclose(np.abs(w), [np.pi, 0, 0], atol=1e-5)
+    # near-pi arbitrary axes: exp(log(R)) must reproduce R
+    rng = np.random.default_rng(3)
+    for theta_deg in [179.999, 180.0]:
+        a = rng.standard_normal(3)
+        a /= np.linalg.norm(a)
+        w_in = jnp.asarray(a * np.deg2rad(theta_deg), jnp.float32)[None]
+        R = so3_exp(w_in)
+        R2 = so3_exp(so3_log(R))
+        # f32 arccos near trace=-1 limits theta recovery to ~sqrt(eps_f32)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-3)

@@ -128,3 +128,13 @@ def test_checkpoint_roundtrip_and_loader():
     np.testing.assert_array_equal(
         params["layers_xyz"][1]["kernel"], back["layers_xyz"][1]["kernel"]
     )
+
+
+def test_paper_model_no_viewdirs():
+    """PaperNeRFModel(use_viewdirs=False) must build matching shapes
+    (code-review finding: the dir layer was sized 256+dim_dir but fed 256)."""
+    model = PaperNeRFModel(use_viewdirs=False)
+    params = model.init(jax.random.PRNGKey(0))
+    assert params["layers_dir"][0]["kernel"].shape == (256, 128)
+    out = model.apply(params, jnp.ones((5, model.input_dim)))
+    assert out.shape == (5, 4)

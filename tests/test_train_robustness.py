@@ -72,3 +72,30 @@ def test_grad_clip_norm():
     updates, _ = opt.update(huge_grads, opt_state, params)
     # adam normalizes anyway; just confirm the chain runs and is finite
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_parallel_nan_guard():
+    """DP steps must honor nan_guard too (code-review finding)."""
+    from nerf_tpu.parallel import make_mesh, replicate_tree, shard_batch
+    from nerf_tpu.parallel.dp import make_parallel_train_step
+
+    settings = RenderSettings(
+        num_coarse=4, num_fine=0, perturb=False, radiance_field_noise_std=0.5,
+        num_encoding_fn_xyz=2, num_encoding_fn_dir=2,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=8, num_encoding_fn_xyz=2, num_encoding_fn_dir=2
+    )
+    opt = make_optimizer("adam", 1e-2)
+    mesh = make_mesh()
+    state = replicate_tree(mesh, create_train_state(model, None, opt, jax.random.PRNGKey(0)))
+    step = make_parallel_train_step(model, None, settings, opt, mesh, nan_guard=True)
+    ro = jnp.zeros((16, 3))
+    rd = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (16, 1))
+    bad = jnp.full((16, 3), jnp.nan)
+    before = np.asarray(state.params_coarse["layer1"]["kernel"]).copy()
+    state2, metrics = step(state, *shard_batch(mesh, ro, rd, bad), jax.random.PRNGKey(1))
+    assert not np.isfinite(float(metrics.loss))
+    np.testing.assert_array_equal(
+        np.asarray(state2.params_coarse["layer1"]["kernel"]), before
+    )
