@@ -27,7 +27,8 @@ import jax.numpy as jnp
 REFERENCE_TRAIN_RAYS_PER_SEC = 11378.0  # 200_000 * 1024 rays / 5 h (see docstring)
 
 
-def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4) -> float:
+def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
+                compute_dtype: str = "float32") -> float:
     """Steady-state training throughput via the production scan loop
     (train_nerf.py's hot path): K full steps per host dispatch, on-device
     ray sampling included."""
@@ -43,6 +44,7 @@ def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4) -> 
         num_coarse=64, num_fine=64, perturb=True,
         radiance_field_noise_std=0.2, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+        compute_dtype=compute_dtype,
     )
     model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
@@ -76,7 +78,7 @@ def bench_render(side: int = 400) -> float:
     settings = RenderSettings(
         num_coarse=64, num_fine=64, perturb=False, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
-        chunksize=65536,
+        chunksize=65536, compute_dtype="bfloat16",
     )
     model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     pc = model.init(jax.random.PRNGKey(0))
@@ -111,14 +113,14 @@ def bench_render(side: int = 400) -> float:
 
 def main():
     train_rps = bench_train()
-    train_rps_big = bench_train(batch=4096, steps_per_call=25, calls=3)
+    train_rps_bf16 = bench_train(compute_dtype="bfloat16")
     render_rps = bench_render()
     result = {
         "metric": "train rays/sec/chip (lego-lowres protocol: 1024-ray batch, 64+64 samples, fwd+bwd+adam)",
         "value": round(train_rps, 1),
         "unit": "rays/sec",
         "vs_baseline": round(train_rps / REFERENCE_TRAIN_RAYS_PER_SEC, 2),
-        "train_rays_per_sec_batch4096": round(train_rps_big, 1),
+        "train_rays_per_sec_bf16": round(train_rps_bf16, 1),
         "render_rays_per_sec_400px": round(render_rps, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -94,6 +94,7 @@ def _default_mode_cfg(train: bool) -> dict:
         # TPU execution knobs (no reference equivalent):
         "use_pallas": False,   # fused Pallas radiance-field kernel (eval only)
         "remat": False,        # rematerialize MLP activations in backward
+        "compute_dtype": "float32",  # MLP matmul dtype; bfloat16 = ~30% faster
     }
     if train:
         cfg["num_random_rays"] = 1024
@@ -151,6 +152,7 @@ def render_settings_from_config(
         log_sampling_dir=bool(model_cfg.log_sampling_dir),
         use_pallas=bool(getattr(mode_cfg, "use_pallas", False)),
         remat=bool(getattr(mode_cfg, "remat", False)),
+        compute_dtype=str(getattr(mode_cfg, "compute_dtype", "float32")),
     )
 
 

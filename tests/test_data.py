@@ -126,3 +126,26 @@ def test_ray_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(t, t2)
     assert meta2 == meta
     assert extras["val_images"].shape == (2, 4, 4, 3)
+
+
+def test_spherify_poses():
+    """360-capture spherification (load_llff.py:200-275 semantics): poses are
+    re-centered onto a unit-ish sphere and a 120-view circular path returned."""
+    from nerf_tpu.data.llff import spherify_poses
+
+    rng = np.random.default_rng(0)
+    n = 6
+    poses = np.zeros((n, 3, 5), np.float32)
+    for i in range(n):
+        c2w = pose_spherical(i * 60.0, -30.0, 4.0)
+        poses[i, :, :4] = c2w[:3, :4]
+        poses[i, :, 4] = [24, 32, 30.0]
+    bds = np.stack([np.full(n, 2.0), np.full(n, 6.0)], -1)
+    poses_reset, new_poses, bds2 = spherify_poses(poses, bds)
+    assert poses_reset.shape == (n, 3, 5)
+    assert new_poses.shape == (120, 3, 5)
+    # camera centers approximately unit distance from origin after rescale
+    radii = np.linalg.norm(poses_reset[:, :3, 3], axis=-1)
+    np.testing.assert_allclose(radii.mean(), 1.0, atol=0.1)
+    # bounds rescaled by the same factor
+    assert bds2.min() > 0
