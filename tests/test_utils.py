@@ -56,3 +56,23 @@ def test_rate_meter():
     time.sleep(0.02)
     r.update(100)
     assert r.rate() > 0
+
+
+def test_time_fn_and_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.utils.profiling import time_fn, trace
+
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    secs, out = time_fn(f, jnp.arange(128.0), warmup=1, reps=2)
+    assert secs > 0 and float(out) > 0
+    with trace(str(tmp_path)):
+        f(jnp.arange(128.0)).block_until_ready()
+    # a trace directory with at least one artifact is produced
+    import os
+
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found
