@@ -46,7 +46,11 @@ def cache_nerf_dataset(args) -> str:
         )
         hwf = [int(poses[0, 0, 4]), int(poses[0, 1, 4]), float(poses[0, 2, 4])]
         poses = poses[:, :3, :4]
-        i_test = np.arange(images.shape[0])[:: args.llffhold]
+        if args.llffhold > 0:
+            i_test = np.arange(images.shape[0])[:: args.llffhold]
+        else:
+            # loader-selected nearest-to-average holdout view
+            i_test = np.array([i_test])
         i_val = i_test
         i_train = np.array(
             [i for i in range(images.shape[0]) if i not in i_test]

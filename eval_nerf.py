@@ -97,10 +97,6 @@ def main():
     else:
         raise ValueError(f"Unsupported dataset type {cfg.dataset.type!r} for eval")
 
-    settings = render_settings_from_config(cfg, "validation", hwf=(h, w, focal))
-    import dataclasses
-
-    settings = dataclasses.replace(settings, compute_dtype=args.precision)
     # Reference-format checkpoints hold default-shaped (4x128) models
     # (SURVEY.md §5 quirk 1); native checkpoints match the config.
     is_reference_ckpt = args.checkpoint.endswith(".ckpt")
@@ -134,6 +130,13 @@ def main():
             else None
         )
 
+    # Settings are built AFTER checkpoint loading: a reference checkpoint may
+    # override h/w/focal (eval_nerf.py:138-143), and NDC projection bakes the
+    # intrinsics into the compiled renderer.
+    settings = render_settings_from_config(cfg, "validation", hwf=(h, w, focal))
+    import dataclasses
+
+    settings = dataclasses.replace(settings, compute_dtype=args.precision)
     render_image = make_image_render_fn(model_coarse, model_fine, settings)
 
     os.makedirs(args.savedir, exist_ok=True)

@@ -25,7 +25,13 @@ from nerf_tpu.utils import psnr, ssim
 
 def _load_images(path: str, key: str = "images"):
     if path.endswith(".npz"):
-        return np.load(path)[key].astype(np.float32)
+        arr = np.load(path)[key]
+        out = arr.astype(np.float32)
+        # Normalize uint8 (or other >1-range) arrays to [0, 1] so npz and
+        # directory inputs compare on the same scale.
+        if arr.dtype == np.uint8 or out.max() > 2.0:
+            out = out / 255.0
+        return out
     files = sorted(
         f for f in os.listdir(path) if f.endswith((".png", ".jpg", ".jpeg"))
     )

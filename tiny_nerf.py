@@ -53,10 +53,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--npz", type=str, default="", help="tiny_nerf_data.npz path")
     parser.add_argument("--iters", type=int, default=1000)
+    # (validated below: --iters and --display-every must be positive)
     parser.add_argument("--size", type=int, default=64, help="synthetic image size")
     parser.add_argument("--logdir", type=str, default="logs/tiny_nerf")
     parser.add_argument("--display-every", type=int, default=100)
     args = parser.parse_args()
+    if args.iters < 1 or args.display_every < 1:
+        parser.error("--iters and --display-every must be >= 1")
 
     if args.npz:
         dataset = load_npz_dataset(args.npz)

@@ -93,21 +93,28 @@ def main():
     opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
     state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), S)
     steps_per_call = max(1, min(args.print_every, args.iters))
-    loop = make_multiscene_train_loop(
-        model, model, settings, opt, args.batch, steps_per_call
-    )
+    loops = {}
+
+    def get_loop(k_steps):
+        if k_steps not in loops:
+            loops[k_steps] = make_multiscene_train_loop(
+                model, model, settings, opt, args.batch, k_steps
+            )
+        return loops[k_steps]
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    for i in range(0, args.iters, steps_per_call):
+    i = 0
+    while i < args.iters:
+        k_steps = min(steps_per_call, args.iters - i)
         key, k = jax.random.split(key)
-        state, metrics = loop(state, ro, rd, tgt, k)
+        state, metrics = get_loop(k_steps)(state, ro, rd, tgt, k)
         psnrs = np.asarray(metrics.psnr[-1])  # last step of the call
-        i_end = min(i + steps_per_call, args.iters) - 1
+        i += k_steps
         print(
-            f"iter {i_end:5d} mean psnr {psnrs.mean():6.2f} "
+            f"iter {i - 1:5d} mean psnr {psnrs.mean():6.2f} "
             f"per-scene [{' '.join(f'{p:.1f}' for p in psnrs)}] "
-            f"rays/s {S * args.batch * (i_end + 1) / (time.time() - t0):,.0f}"
+            f"rays/s {S * args.batch * i / (time.time() - t0):,.0f}"
         )
     dt = time.time() - t0
     total_rays = S * args.batch * args.iters

@@ -103,8 +103,13 @@ def load_dataset(cfg):
             ds.basedir, half_res=ds.half_res, testskip=ds.testskip
         )
         i_train, i_val, _ = i_split
-        # White-background compositing at load (reference train_nerf.py:65-66).
-        images = composite_white_background(images)
+        # White-background compositing at load, gated like the reference
+        # (train_nerf.py:64-66: only when cfg.nerf.train.white_background);
+        # otherwise drop alpha so targets stay consistent with the renderer.
+        if cfg.nerf.train.white_background:
+            images = composite_white_background(images)
+        else:
+            images = images[..., :3]
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
         return {
             "mode": "live",
@@ -179,9 +184,13 @@ def main():
 
     data = load_dataset(cfg)
     h, w, focal = data["hwf"]
-    cfg.defrost() if cfg.is_frozen() else None
-    cfg.dataset.near = float(data["near"])
-    cfg.dataset.far = float(data["far"])
+    if cfg.is_frozen():
+        cfg.defrost()
+    # Cached LLFF sets record metric scene bounds, but NDC rendering samples
+    # in NDC depth [0, 1] — keep the config's near/far when NDC is on.
+    if cfg.dataset.no_ndc:
+        cfg.dataset.near = float(data["near"])
+        cfg.dataset.far = float(data["far"])
 
     # Flatten training views into the device-resident ray store.
     if data["mode"] == "cached":
@@ -227,16 +236,25 @@ def main():
             "params_fine": state.params_fine,
             "opt_state": state.opt_state,
         }
+        restored_opt_leaves = [
+            jnp.asarray(x) for x in jax.tree.leaves(restored.get("opt_state", {}))
+        ]
+        if restored_opt_leaves:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(template["opt_state"]), restored_opt_leaves
+            )
+        else:
+            # Weights-only checkpoint (e.g. converted from a reference .ckpt
+            # via convert_checkpoint.py) — start with a fresh optimizer.
+            opt_state = state.opt_state
+            print("checkpoint has no optimizer state; starting Adam fresh")
         state = TrainState(
             jnp.asarray(restored["step"], jnp.int32),
             jax.tree.map(jnp.asarray, restored["params_coarse"]),
             jax.tree.map(jnp.asarray, restored["params_fine"])
             if restored.get("params_fine") is not None
             else None,
-            jax.tree.unflatten(
-                jax.tree.structure(template["opt_state"]),
-                [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])],
-            ),
+            opt_state,
         )
         start_iter = int(restored["step"])
         print(f"resumed from {ckpt_path} at step {start_iter}")
@@ -269,52 +287,68 @@ def main():
         ro_store, rd_store, target_store = shard_batch(
             mesh, ro_store, rd_store, target_store
         )
-        loop_fn = make_parallel_train_loop(
-            model_coarse, model_fine, settings, optimizer, mesh,
-            batch_size, steps_per_call,
-        )
         print(f"data-parallel over {num_devices} devices, batch {batch_size}")
     else:
         mesh = None
-        loop_fn = make_train_loop(
-            model_coarse, model_fine, settings, optimizer, batch_size, steps_per_call
-        )
+
+    loop_cache = {}
+
+    def get_loop(k_steps: int):
+        """Compiled k-step loop, cached per length (the tail chunk when
+        (train_iters - start_iter) is not a multiple of steps_per_call
+        compiles once with its own length — never over-trains)."""
+        if k_steps not in loop_cache:
+            if mesh is not None:
+                loop_cache[k_steps] = make_parallel_train_loop(
+                    model_coarse, model_fine, settings, optimizer, mesh,
+                    batch_size, k_steps,
+                )
+            else:
+                loop_cache[k_steps] = make_train_loop(
+                    model_coarse, model_fine, settings, optimizer,
+                    batch_size, k_steps,
+                )
+        return loop_cache[k_steps]
 
     render_image = make_image_render_fn(model_coarse, model_fine, val_settings)
 
     t_start = time.time()
-    for i in range(start_iter, train_iters, steps_per_call):
+    i = start_iter
+    while i < train_iters:
+        k_steps = min(steps_per_call, train_iters - i)
         key, k_loop = jax.random.split(key)
-        state, metrics = loop_fn(state, ro_store, rd_store, target_store, k_loop)
+        state, metrics = get_loop(k_steps)(
+            state, ro_store, rd_store, target_store, k_loop
+        )
         last = jax.tree.map(lambda x: x[-1], metrics)
         loss = float(last.loss)  # host fetch fences the whole scan
-        rate.update(batch_size * steps_per_call)
-        i_end = min(i + steps_per_call, train_iters) - 1
+        rate.update(batch_size * k_steps)
+        i_end = i + k_steps - 1
         metrics = last
 
-        if True:  # every loop call ends on a print boundary (steps_per_call | print_every)
-            psnr_v = float(metrics.psnr)
-            print(
-                f"[TRAIN] iter {i_end} loss {loss:.6f} psnr {psnr_v:.3f} "
-                f"rays/s {rate.rate():,.0f}"
-            )
-            writer.scalars(
-                {
-                    "train/loss": loss,
-                    "train/coarse_loss": float(metrics.coarse_loss),
-                    "train/fine_loss": float(metrics.fine_loss),
-                    "train/psnr": psnr_v,
-                    "train/rays_per_sec": rate.rate(),
-                },
-                i_end,
-            )
+        psnr_v = float(metrics.psnr)
+        print(
+            f"[TRAIN] iter {i_end} loss {loss:.6f} psnr {psnr_v:.3f} "
+            f"rays/s {rate.rate():,.0f}"
+        )
+        writer.scalars(
+            {
+                "train/loss": loss,
+                "train/coarse_loss": float(metrics.coarse_loss),
+                "train/fine_loss": float(metrics.fine_loss),
+                "train/psnr": psnr_v,
+                "train/rays_per_sec": rate.rate(),
+            },
+            i_end,
+        )
 
         done = i_end + 1  # completed iterations
-        prev_done = done - steps_per_call
+        prev_done = i
+        i = done
 
         def crossed(every: int) -> bool:
             # True when a multiple of `every` falls inside (prev_done, done] —
-            # robust when `every` is not a multiple of steps_per_call.
+            # robust when `every` is not a multiple of the chunk length.
             return done // every > prev_done // every
 
         if val_images is not None and (
