@@ -1,0 +1,153 @@
+"""Fused Pallas volume-compositing kernel (TPU).
+
+SURVEY.md §2 native-kernel parity item (b): exclusive-cumprod alpha
+compositing as an on-chip kernel. The XLA path (ops/volume.py) is the
+numerical reference; this kernel computes the same maps for a tile of rays
+entirely in VMEM with ONE pass over the samples axis — the exclusive
+transmittance product is a sequential scan carried in registers instead of
+cumprod + shift, and rgb/depth/acc accumulate in the same loop, so the
+radiance field is read exactly once.
+
+Layout: samples on the sublane axis, rays on the lane axis — each scan step
+processes one (1, rays_per_tile) row at full lane utilization; the scan
+length (num_samples) is static.
+
+Forward-only (rendering/eval). Deterministic (no sigma-noise path — eval
+settings have noise 0; the XLA path covers noisy training).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _composite_kernel(num_samples: int, white_background: bool):
+    def kernel(
+        rgb_raw_ref,   # (S, R) x3 via separate refs? -> packed as (3, S, R)
+        sigma_ref,     # (S, R)
+        z_ref,         # (S, R)
+        dnorm_ref,     # (1, R) ||ray_dir||
+        rgb_out_ref,   # (3, R)
+        disp_out_ref,  # (1, R)
+        acc_out_ref,   # (1, R)
+        depth_out_ref, # (1, R)
+        weights_out_ref,  # (S, R)
+    ):
+        f32 = jnp.float32
+        r = sigma_ref.shape[1]
+
+        def body(i, carry):
+            trans, rgb_acc, depth_acc, acc = carry
+            z_i = z_ref[i, :]
+            # dists: z[i+1] - z[i], 1e10 sentinel for the last sample
+            # (volume_rendering_utils.py:14-24 semantics)
+            z_next = jax.lax.cond(
+                i + 1 < num_samples,
+                lambda: z_ref[jnp.minimum(i + 1, num_samples - 1), :],
+                lambda: z_i + jnp.full((r,), 1e10, f32),
+            )
+            dist = (z_next - z_i) * dnorm_ref[0, :]
+            sigma = jnp.maximum(sigma_ref[i, :], 0.0)
+            alpha = 1.0 - jnp.exp(-sigma * dist)
+            w = alpha * trans
+            weights_out_ref[i, :] = w
+            rgb_i = jax.nn.sigmoid(rgb_raw_ref[:, i, :])  # (3, R)
+            rgb_acc = rgb_acc + w[None, :] * rgb_i
+            depth_acc = depth_acc + w * z_i
+            acc = acc + w
+            trans = trans * (1.0 - alpha + 1e-10)
+            return trans, rgb_acc, depth_acc, acc
+
+        init = (
+            jnp.ones((r,), f32),
+            jnp.zeros((3, r), f32),
+            jnp.zeros((r,), f32),
+            jnp.zeros((r,), f32),
+        )
+        _, rgb_acc, depth_acc, acc = jax.lax.fori_loop(0, num_samples, body, init)
+
+        if white_background:
+            rgb_acc = rgb_acc + (1.0 - acc)[None, :]
+        rgb_out_ref[:, :] = rgb_acc
+        acc_out_ref[0, :] = acc
+        depth_out_ref[0, :] = depth_acc
+        disp_out_ref[0, :] = 1.0 / jnp.maximum(
+            jnp.full((r,), 1e-10, f32), depth_acc / jnp.maximum(acc, 1e-10)
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("white_background", "rays_per_tile", "interpret")
+)
+def fused_volume_render(
+    radiance_field: jnp.ndarray,   # (N, S, 4) raw [r, g, b, sigma]
+    depth_values: jnp.ndarray,     # (N, S)
+    ray_directions: jnp.ndarray,   # (N, 3)
+    white_background: bool = False,
+    rays_per_tile: int = 512,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Composite a sampled radiance field on-chip (deterministic path).
+
+    Returns {"rgb": (N,3), "disp": (N,), "acc": (N,), "weights": (N,S),
+    "depth": (N,)} matching ops.volume.volume_render_radiance_field with
+    noise_std=0.
+    """
+    n, s = radiance_field.shape[0], radiance_field.shape[1]
+    padded = (n + rays_per_tile - 1) // rays_per_tile * rays_per_tile
+    if padded != n:
+        pad = padded - n
+        radiance_field = jnp.pad(radiance_field, ((0, pad), (0, 0), (0, 0)))
+        depth_values = jnp.pad(depth_values, ((0, pad), (0, 0)))
+        ray_directions = jnp.pad(
+            ray_directions, ((0, pad), (0, 0)), constant_values=1.0
+        )
+
+    # Lane-major layout: samples on sublanes, rays on lanes.
+    rgb_raw = jnp.transpose(radiance_field[..., :3], (2, 1, 0))  # (3, S, N)
+    sigma = jnp.transpose(radiance_field[..., 3], (1, 0))        # (S, N)
+    z_t = jnp.transpose(depth_values, (1, 0))                    # (S, N)
+    dnorm = jnp.linalg.norm(ray_directions, axis=-1)[None, :]    # (1, N)
+
+    grid = (padded // rays_per_tile,)
+    r = rays_per_tile
+
+    def spec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (r,),
+            lambda i, _nd=nd: (0,) * _nd + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, padded), jnp.float32),   # rgb
+        jax.ShapeDtypeStruct((1, padded), jnp.float32),   # disp
+        jax.ShapeDtypeStruct((1, padded), jnp.float32),   # acc
+        jax.ShapeDtypeStruct((1, padded), jnp.float32),   # depth
+        jax.ShapeDtypeStruct((s, padded), jnp.float32),   # weights
+    )
+    rgb, disp, acc, depth, weights = pl.pallas_call(
+        _composite_kernel(s, white_background),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[spec((3, s)), spec((s,)), spec((s,)), spec((1,))],
+        out_specs=(spec((3,)), spec((1,)), spec((1,)), spec((1,)), spec((s,))),
+        interpret=interpret,
+    )(rgb_raw, sigma, z_t, dnorm)
+
+    return {
+        "rgb": jnp.transpose(rgb, (1, 0))[:n],
+        "disp": disp[0, :n],
+        "acc": acc[0, :n],
+        "depth": depth[0, :n],
+        "weights": jnp.transpose(weights, (1, 0))[:n],
+    }
