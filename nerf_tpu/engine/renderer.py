@@ -157,6 +157,26 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     return eval_fn(params, pts, viewdirs)
 
 
+def _composite(rf, z_vals, rd, s: RenderSettings, noise_key):
+    """Volume compositing: fused Pallas kernel on the deterministic pallas
+    path, XLA renderer otherwise (noise / training / non-pallas)."""
+    if s.use_pallas and s.radiance_field_noise_std == 0.0:
+        from ..ops.pallas.composite import fused_volume_render
+
+        out = fused_volume_render(
+            rf, z_vals, rd, white_background=s.white_background
+        )
+        return RenderOutputs(
+            out["rgb"], out["disp"], out["acc"], out["weights"], out["depth"]
+        )
+    return volume_render_radiance_field(
+        rf, z_vals, rd,
+        radiance_field_noise_std=s.radiance_field_noise_std,
+        white_background=s.white_background,
+        noise_key=noise_key,
+    )
+
+
 def render_rays(
     model_coarse,
     params_coarse: Params,
@@ -206,14 +226,7 @@ def render_rays(
 
     pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
     rf_coarse = _eval_radiance_field(model_coarse, params_coarse, pts, viewdirs, s)
-    coarse = volume_render_radiance_field(
-        rf_coarse,
-        z_vals,
-        rd,
-        radiance_field_noise_std=s.radiance_field_noise_std,
-        white_background=s.white_background,
-        noise_key=k_noise_c,
-    )
+    coarse = _composite(rf_coarse, z_vals, rd, s, k_noise_c)
 
     fine = None
     if s.num_fine > 0:
@@ -231,14 +244,7 @@ def render_rays(
         fine_params = params_fine if params_fine is not None else params_coarse
         fine_model = model_fine if model_fine is not None else model_coarse
         rf_fine = _eval_radiance_field(fine_model, fine_params, pts, viewdirs, s)
-        fine = volume_render_radiance_field(
-            rf_fine,
-            z_all,
-            rd,
-            radiance_field_noise_std=s.radiance_field_noise_std,
-            white_background=s.white_background,
-            noise_key=k_noise_f,
-        )
+        fine = _composite(rf_fine, z_all, rd, s, k_noise_f)
 
     return RayRenderResult(coarse, fine)
 
