@@ -157,6 +157,38 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     return eval_fn(params, pts, viewdirs)
 
 
+def _render_stage(model, params, pts, viewdirs, z_vals, rd, s: RenderSettings, noise_key):
+    """One coarse-or-fine stage: radiance-field eval + compositing.
+
+    On the deterministic pallas path with the fusable default model shape,
+    the ENTIRE stage runs as one whole-stage kernel (encode + MLP +
+    transmittance scan in VMEM — the radiance field never exists in HBM);
+    otherwise eval and compositing compose as separate (XLA or kernel) steps.
+    """
+    if (
+        s.use_pallas
+        and viewdirs is not None
+        and s.radiance_field_noise_std == 0.0
+        and s.log_sampling_xyz
+        and s.log_sampling_dir
+        and pts.ndim == 3
+    ):
+        from ..ops.pallas.mlp import supports_fused
+        from ..ops.pallas.stage import fused_render_stage
+
+        if supports_fused(model, params):
+            out = fused_render_stage(
+                params, pts, viewdirs, z_vals, rd,
+                white_background=s.white_background,
+                compute_dtype=s.compute_dtype,
+            )
+            return RenderOutputs(
+                out["rgb"], out["disp"], out["acc"], out["weights"], out["depth"]
+            )
+    rf = _eval_radiance_field(model, params, pts, viewdirs, s)
+    return _composite(rf, z_vals, rd, s, noise_key)
+
+
 def _composite(rf, z_vals, rd, s: RenderSettings, noise_key):
     """Volume compositing: fused Pallas kernel on the deterministic pallas
     path, XLA renderer otherwise (noise / training / non-pallas)."""
@@ -225,8 +257,9 @@ def render_rays(
         z_vals = perturb_z_values(k_perturb, z_vals)
 
     pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
-    rf_coarse = _eval_radiance_field(model_coarse, params_coarse, pts, viewdirs, s)
-    coarse = _composite(rf_coarse, z_vals, rd, s, k_noise_c)
+    coarse = _render_stage(
+        model_coarse, params_coarse, pts, viewdirs, z_vals, rd, s, k_noise_c
+    )
 
     fine = None
     if s.num_fine > 0:
@@ -243,8 +276,9 @@ def render_rays(
         pts = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
         fine_params = params_fine if params_fine is not None else params_coarse
         fine_model = model_fine if model_fine is not None else model_coarse
-        rf_fine = _eval_radiance_field(fine_model, fine_params, pts, viewdirs, s)
-        fine = _composite(rf_fine, z_all, rd, s, k_noise_f)
+        fine = _render_stage(
+            fine_model, fine_params, pts, viewdirs, z_all, rd, s, k_noise_f
+        )
 
     return RayRenderResult(coarse, fine)
 
