@@ -61,7 +61,7 @@ def _composite_kernel(num_samples: int, white_background: bool):
             rgb_acc = rgb_acc + w[None, :] * rgb_i
             depth_acc = depth_acc + w * z_i
             acc = acc + w
-            trans = trans * (1.0 - alpha + 1e-10)
+            trans = trans * jnp.maximum(1.0 - alpha + 1e-10, 1e-10)
             return trans, rgb_acc, depth_acc, acc
 
         init = (

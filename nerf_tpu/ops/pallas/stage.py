@@ -103,7 +103,10 @@ def _stage_kernel(compute_dtype, rays_per_tile: int, num_samples: int,
         # Mosaic has no cumsum primitive, so the exclusive prefix sum runs as
         # one tiny matmul with a strictly-upper-triangular ones matrix:
         # (logs @ tri)[r, i] = sum_{j<i} logs[r, j].
-        logs = jnp.log(1.0 - alpha + 1e-10)
+        # Explicit floor: Mosaic/interpret can evaluate 1-alpha+1e-10 to
+        # exactly 0 at alpha=1 (reassociation), and a -inf entering the
+        # prefix matmul turns -inf*0 products into NaN.
+        logs = jnp.log(jnp.maximum(1.0 - alpha + 1e-10, 1e-10))
         trans = jnp.exp(jnp.dot(logs, tri_ref[:], preferred_element_type=f32))
         weights = alpha * trans                        # (R, S)
         weights_out_ref[:] = weights
