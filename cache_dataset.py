@@ -42,7 +42,7 @@ def cache_nerf_dataset(args) -> str:
         poses = poses[:, :3, :4]
     elif args.type == "llff":
         images, poses, bds, _, i_test = load_llff_data(
-            args.datapath, factor=args.factor
+            args.datapath, factor=args.factor, spherify=args.spherify
         )
         hwf = [int(poses[0, 0, 4]), int(poses[0, 1, 4]), float(poses[0, 2, 4])]
         poses = poses[:, :3, :4]
@@ -105,6 +105,10 @@ def main():
     parser.add_argument("--testskip", type=int, default=1)
     parser.add_argument("--factor", type=int, default=8, help="LLFF downsample factor")
     parser.add_argument("--llffhold", type=int, default=8)
+    parser.add_argument(
+        "--spherify", action="store_true",
+        help="Spherify 360-degree LLFF captures (load_llff.py:278-279)",
+    )
     parser.add_argument("--blender-white-background", action="store_true")
     parser.add_argument(
         "--num-random-rays", type=int, default=0,

@@ -35,6 +35,11 @@ def main():
         help="Optional height width focal to embed when exporting to .ckpt "
              "(read by reference eval_nerf.py:138-143).",
     )
+    parser.add_argument(
+        "--lr", type=float, default=5.0e-3,
+        help="Learning rate recorded in the exported optimizer_state_dict "
+             "param group (reference resume restores it).",
+    )
     args = parser.parse_args()
 
     to_native = args.output.endswith(".ntc")
@@ -62,6 +67,8 @@ def main():
             loss=float(state.get("loss", 0.0)),
             psnr=float(state.get("psnr", 0.0)),
             hwf=tuple(args.hwf) if args.hwf else None,
+            opt_state=state.get("opt_state"),
+            lr=args.lr,
         )
         print(f"native -> torch: {args.input} -> {args.output}")
     else:

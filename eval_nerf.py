@@ -58,10 +58,11 @@ def main():
              "(the reference ships orbit GIFs as its demo artifact).",
     )
     parser.add_argument(
-        "--precision", choices=["bfloat16", "float32"], default="bfloat16",
-        help="MLP compute dtype. bfloat16: ~40%% faster, differences confined "
-             "to a few silhouette-edge pixels (mean |diff| 0.04/255); "
-             "float32 for exact parity runs.",
+        "--precision", choices=["bfloat16", "float32"], default="float32",
+        help="MLP compute dtype. float32 (default): exact parity. "
+             "bfloat16: ~40%% faster, differences confined to a few "
+             "silhouette-edge pixels (mean |diff| 0.04/255) — opt in for "
+             "speed once parity is established.",
     )
     args = parser.parse_args()
 
@@ -85,7 +86,10 @@ def main():
             render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
     elif cfg.dataset.type == "llff":
         _, poses, _, render_poses, _ = load_llff_data(
-            cfg.dataset.basedir, factor=getattr(cfg.dataset, "downsample_factor", 8)
+            cfg.dataset.basedir,
+            factor=getattr(cfg.dataset, "downsample_factor", 8),
+            spherify=bool(getattr(cfg.dataset, "spherify", False)),
+            path_zflat=bool(getattr(cfg.dataset, "path_zflat", False)),
         )
         hwf = poses[0, :3, -1]
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])

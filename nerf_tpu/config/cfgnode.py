@@ -11,9 +11,13 @@ itself a vendored YACS/fvcore variant). Capabilities reproduced:
     None-able targets, int->float promotion)
   - ``freeze`` / ``defrost`` / ``is_frozen`` immutability (cfgnode.py:238-252)
   - ``clone`` (cfgnode.py:254), ``dump`` to YAML (cfgnode.py:180),
-    ``load_cfg`` from a YAML string/file object (cfgnode.py:324)
+    ``load_cfg`` from a YAML string/file object (cfgnode.py:324) or a
+    Python source file exporting a ``cfg`` attribute (cfgnode.py:369-384)
   - new-key control: ``set_new_allowed`` and the ``__new_allowed__``
     semantics so merging files with novel keys can be permitted per-node
+  - deprecated / renamed key registries (cfgnode.py:270-319): merging a
+    registered deprecated key warns and drops it; merging a renamed key
+    raises with the new name (and optional migration message)
 
 This is a fresh implementation (plain-Python, no torch), not a copy: state is
 held in reserved dunder slots on the dict subclass, YAML I/O uses safe_load,
@@ -27,7 +31,7 @@ from typing import Any, Dict, List, Optional
 
 import yaml
 
-_RESERVED = ("__frozen__", "__new_allowed__")
+_RESERVED = ("__frozen__", "__new_allowed__", "__deprecated_keys__", "__renamed_keys__")
 
 
 class CfgNode(dict):
@@ -43,6 +47,8 @@ class CfgNode(dict):
         super().__init__(init_dict)
         object.__setattr__(self, "__frozen__", False)
         object.__setattr__(self, "__new_allowed__", new_allowed)
+        object.__setattr__(self, "__deprecated_keys__", set())
+        object.__setattr__(self, "__renamed_keys__", {})
 
     @classmethod
     def _create_tree(cls, d: Dict[str, Any], new_allowed: bool) -> Dict[str, Any]:
@@ -117,6 +123,53 @@ class CfgNode(dict):
     def is_new_allowed(self) -> bool:
         return getattr(self, "__new_allowed__", False)
 
+    # -- deprecated / renamed key registries ----------------------------------
+    # Registered on the ROOT node being merged into; full keys are dotted
+    # paths ("nerf.ndc"). Reference semantics (cfgnode.py:270-319): merging a
+    # deprecated key warns + ignores it; merging a renamed key raises KeyError
+    # naming the replacement.
+
+    def register_deprecated_key(self, key: str) -> None:
+        deprecated = getattr(self, "__deprecated_keys__", None)
+        if deprecated is None:
+            object.__setattr__(self, "__deprecated_keys__", set())
+            deprecated = getattr(self, "__deprecated_keys__")
+        if key in deprecated:
+            raise ValueError(f"key {key!r} is already registered as deprecated")
+        deprecated.add(key)
+
+    def register_renamed_key(
+        self, old_name: str, new_name: str, message: Optional[str] = None
+    ) -> None:
+        renamed = getattr(self, "__renamed_keys__", None)
+        if renamed is None:
+            object.__setattr__(self, "__renamed_keys__", {})
+            renamed = getattr(self, "__renamed_keys__")
+        if old_name in renamed:
+            raise ValueError(f"key {old_name!r} is already registered as renamed")
+        renamed[old_name] = (new_name, message) if message else new_name
+
+    def key_is_deprecated(self, full_key: str) -> bool:
+        if full_key in getattr(self, "__deprecated_keys__", ()):
+            import warnings
+
+            warnings.warn(f"deprecated config key (ignoring): {full_key}")
+            return True
+        return False
+
+    def key_is_renamed(self, full_key: str) -> bool:
+        return full_key in getattr(self, "__renamed_keys__", {})
+
+    def raise_key_rename_error(self, full_key: str) -> None:
+        new_key = getattr(self, "__renamed_keys__", {})[full_key]
+        msg = ""
+        if isinstance(new_key, tuple):
+            msg = " Note: " + new_key[1]
+            new_key = new_key[0]
+        raise KeyError(
+            f"Key {full_key} was renamed to {new_key}; please update your config.{msg}"
+        )
+
     # -- cloning / serialization ---------------------------------------------
 
     def clone(self) -> "CfgNode":
@@ -135,8 +188,11 @@ class CfgNode(dict):
     # -- merging ---------------------------------------------------------------
 
     def merge_from_file(self, cfg_filename: str) -> None:
-        with open(cfg_filename, "r") as f:
-            loaded = load_cfg(f)
+        if cfg_filename.endswith(".py"):
+            loaded = _load_cfg_py_source(cfg_filename)
+        else:
+            with open(cfg_filename, "r") as f:
+                loaded = load_cfg(f)
         self.merge_from_other_cfg(loaded)
 
     def merge_from_other_cfg(self, cfg_other: "CfgNode") -> None:
@@ -149,6 +205,10 @@ class CfgNode(dict):
                 f"Override list has odd length {len(cfg_list)}; expected key-value pairs"
             )
         for full_key, value in zip(cfg_list[0::2], cfg_list[1::2]):
+            if self.key_is_deprecated(full_key):
+                continue
+            if self.key_is_renamed(full_key):
+                self.raise_key_rename_error(full_key)
             parts = full_key.split(".")
             node = self
             for part in parts[:-1]:
@@ -180,16 +240,43 @@ class CfgNode(dict):
         return f"{self.__class__.__name__}({super().__repr__()})"
 
 
-def load_cfg(yaml_source) -> CfgNode:
-    """Load a CfgNode from a YAML string or file-like object (cfgnode.py:324)."""
-    if hasattr(yaml_source, "read"):
-        yaml_source = yaml_source.read()
-    data = yaml.safe_load(yaml_source)
+def load_cfg(source) -> CfgNode:
+    """Load a CfgNode from a YAML string or file-like object (cfgnode.py:324).
+
+    A file object backed by a ``.py`` source file loads through the
+    Python-source path (reference cfgnode.py:348-384): the module must export
+    a ``cfg`` attribute that is a dict or CfgNode.
+    """
+    if hasattr(source, "read"):
+        name = getattr(source, "name", "")
+        if isinstance(name, str) and name.endswith(".py"):
+            return _load_cfg_py_source(name)
+        source = source.read()
+    data = yaml.safe_load(source)
     if data is None:
         data = {}
     if not isinstance(data, dict):
         raise TypeError(f"Config YAML must map keys to values; got {type(data)}")
     return CfgNode(data)
+
+
+def _load_cfg_py_source(filename: str) -> CfgNode:
+    """Load a config from a Python source file exporting ``cfg``
+    (reference cfgnode.py:369-384)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("nerf_tpu.config.override", filename)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    if not hasattr(module, "cfg"):
+        raise AttributeError(
+            f"Python config module {filename} must export a 'cfg' attribute"
+        )
+    if not isinstance(module.cfg, (dict, CfgNode)):
+        raise TypeError(
+            f"{filename}: 'cfg' must be a dict or CfgNode, got {type(module.cfg)}"
+        )
+    return CfgNode(dict(module.cfg))
 
 
 def _decode_value(value: Any) -> Any:
@@ -209,6 +296,11 @@ def _merge_a_into_b(a: CfgNode, b: CfgNode, root: CfgNode, key_path: List[str]) 
     for k, v_ in a.items():
         full_key = ".".join(key_path + [k])
         v = copy.deepcopy(v_)
+        if k not in b:
+            if root.key_is_deprecated(full_key):
+                continue
+            if root.key_is_renamed(full_key):
+                root.raise_key_rename_error(full_key)
         if k in b:
             v = _check_and_coerce_value_type(v, b[k], full_key)
             if isinstance(v, CfgNode) and isinstance(b[k], CfgNode):

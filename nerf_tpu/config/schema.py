@@ -35,6 +35,9 @@ def get_default_config() -> CfgNode:
                 "validate_every": 100,
                 "save_every": 5000,
                 "print_every": 100,
+                # Failure detection (no reference equivalent, SURVEY.md §5):
+                # skip the param/optimizer update on non-finite loss/grads.
+                "nan_guard": False,
             },
             "dataset": {
                 "type": "blender",
@@ -48,12 +51,15 @@ def get_default_config() -> CfgNode:
                 "downsample_factor": 1,
                 "llffhold": 8,
                 "spherify": False,
+                "path_zflat": False,
             },
             "models": {
                 "coarse": _default_model_cfg(),
                 "fine": _default_model_cfg(),
             },
-            "optimizer": {"type": "Adam", "lr": 5.0e-3},
+            # grad_clip_norm: global-norm gradient clipping; 0 disables
+            # (stability feature the reference lacks).
+            "optimizer": {"type": "Adam", "lr": 5.0e-3, "grad_clip_norm": 0.0},
             "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
             "nerf": {
                 "use_viewdirs": True,
@@ -102,13 +108,44 @@ def _default_mode_cfg(train: bool) -> dict:
 
 
 def load_config(path: str, overrides: Optional[list] = None) -> CfgNode:
-    """Load a YAML config merged over the defaults (new keys permitted)."""
+    """Load a YAML (or Python-source) config merged over the defaults
+    (new keys permitted). The reference's pre-rename schema keys
+    (config/default.yml, config/tiny.yaml — SURVEY.md §2.15) are registered
+    as renamed so loading an old-schema file raises with the new name."""
     cfg = get_default_config()
     cfg.set_new_allowed(True)
+    cfg.register_renamed_key(
+        "models.coarse.num_encoding_functions",
+        "models.coarse.num_encoding_fn_xyz",
+        "the encoding count is now split into xyz and dir variants",
+    )
+    cfg.register_renamed_key(
+        "models.fine.num_encoding_functions", "models.fine.num_encoding_fn_xyz"
+    )
+    cfg.register_renamed_key("nerf.ndc", "dataset.no_ndc", "note the inverted sense")
     cfg.merge_from_file(path)
     if overrides:
         cfg.merge_from_list(overrides)
+    _validate_encoding_fns(cfg)
     return cfg
+
+
+# The registry of encoding functions selectable via nerf.encode_position_fn /
+# nerf.encode_direction_fn. The reference accepts the key in its YAMLs but
+# never consults it (its train_nerf.py:102-114 always builds
+# get_embedding_function); we validate it so a config naming a nonexistent
+# encoder fails loudly instead of silently rendering garbage.
+ENCODING_FNS = ("positional_encoding",)
+
+
+def _validate_encoding_fns(cfg: CfgNode) -> None:
+    for key in ("encode_position_fn", "encode_direction_fn"):
+        name = getattr(cfg.nerf, key, "positional_encoding")
+        if name not in ENCODING_FNS:
+            raise ValueError(
+                f"nerf.{key}={name!r} is not a known encoding function; "
+                f"available: {ENCODING_FNS}"
+            )
 
 
 def render_settings_from_config(
@@ -214,5 +251,6 @@ def optimizer_from_config(cfg: CfgNode):
     lr_decay = cfg.scheduler.lr_decay if "scheduler" in cfg else None
     lr_decay_factor = cfg.scheduler.lr_decay_factor if "scheduler" in cfg else None
     return make_optimizer(
-        cfg.optimizer.type, float(cfg.optimizer.lr), lr_decay, lr_decay_factor
+        cfg.optimizer.type, float(cfg.optimizer.lr), lr_decay, lr_decay_factor,
+        grad_clip_norm=float(getattr(cfg.optimizer, "grad_clip_norm", 0.0)) or None,
     )

@@ -31,6 +31,19 @@ from .poses import normalize, poses_avg, render_path_spiral, viewmatrix
 _IMG_EXTS = ("JPG", "jpg", "png", "jpeg", "PNG")
 
 
+def _imread(path: str) -> np.ndarray:
+    """Read an image, ignoring any PNG gAMA chunk (reference load_llff.py:126-130
+    passes ignoregamma=True so a gamma-tagged png isn't silently rescaled).
+    Newer imageio PNG plugins dropped the kwarg and never apply gamma — fall
+    back to a plain read there (same pixels either way)."""
+    if path.lower().endswith("png"):
+        try:
+            return imageio.imread(path, ignoregamma=True)
+        except TypeError:
+            return imageio.imread(path)
+    return imageio.imread(path)
+
+
 def _list_images(imgdir: str):
     return [
         os.path.join(imgdir, f)
@@ -124,7 +137,7 @@ def _load_data(
     if not load_imgs:
         return poses, bds
 
-    imgs = [imageio.imread(f)[..., :3] / 255.0 for f in imgfiles]
+    imgs = [_imread(f)[..., :3] / 255.0 for f in imgfiles]
     imgs = np.stack(imgs, -1)
     return poses, bds, imgs
 

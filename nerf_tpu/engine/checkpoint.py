@@ -83,6 +83,136 @@ def to_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
     return out
 
 
+def _module_prefix_order(params: Params) -> list:
+    """The reference's per-family ``nn.Module`` attribute registration order
+    (nerf/models.py) — the order ``model.parameters()`` yields tensors in,
+    which fixes the param indices of its optimizer state
+    (train_nerf.py:137-143).
+    """
+    prefixes = set(params.keys())
+    if "fc_out" in prefixes:                       # FlexibleNeRF, no viewdirs
+        return ["layer1", "layers_xyz", "fc_out"]
+    if "layer1" in prefixes and "layers_xyz" in prefixes:  # FlexibleNeRF
+        return ["layer1", "layers_xyz", "layers_dir", "fc_alpha", "fc_rgb", "fc_feat"]
+    if "layers_xyz" in prefixes:                   # PaperNeRFModel
+        return ["layers_xyz", "fc_feat", "fc_alpha", "layers_dir", "fc_rgb"]
+    if "layer3_1" in prefixes:                     # MultiHeadNeRFModel
+        return ["layer1", "layer2", "layer3_1", "layer3_2", "layer4", "layer5", "layer6"]
+    if "fc_alpha" in prefixes:                     # ReplicateNeRFModel
+        return ["layer1", "layer2", "layer3", "fc_alpha", "layer4", "layer5", "fc_rgb"]
+    return ["layer1", "layer2", "layer3"]          # VeryTinyNeRFModel
+
+
+def reference_state_dict_order(params: Params) -> list:
+    """Ordered state-dict keys ("layer1.weight", "layer1.bias", ...) matching
+    the reference model's ``parameters()`` iteration order."""
+    keys = []
+    for prefix in _module_prefix_order(params):
+        if prefix not in params:
+            continue
+        value = params[prefix]
+        if isinstance(value, (list, tuple)):
+            for i in range(len(value)):
+                keys.append(f"{prefix}.{i}.weight")
+                keys.append(f"{prefix}.{i}.bias")
+        else:
+            keys.append(f"{prefix}.weight")
+            keys.append(f"{prefix}.bias")
+    return keys
+
+
+def _find_adam_moments(opt_state: Any):
+    """Locate (count, mu, nu) inside an optax opt-state pytree.
+
+    Handles both live optax namedtuples (ScaleByAdamState, possibly nested in
+    chain tuples) and the list-form trees restored from ``.ntc`` msgpack
+    (where namedtuples became plain lists). Returns None if absent.
+    """
+    fields = getattr(opt_state, "_fields", None)
+    if fields is not None and {"count", "mu", "nu"} <= set(fields):
+        return opt_state.count, opt_state.mu, opt_state.nu
+    if isinstance(opt_state, dict):
+        if {"count", "mu", "nu"} <= set(opt_state):
+            return opt_state["count"], opt_state["mu"], opt_state["nu"]
+        values: Any = opt_state.values()
+    elif isinstance(opt_state, (list, tuple)):
+        if (
+            len(opt_state) == 3
+            and isinstance(opt_state[1], dict)
+            and isinstance(opt_state[2], dict)
+            and not isinstance(opt_state[0], (dict, list, tuple))
+        ):
+            return opt_state[0], opt_state[1], opt_state[2]
+        values = opt_state
+    else:
+        return None
+    for item in values:
+        found = _find_adam_moments(item)
+        if found is not None:
+            return found
+    return None
+
+
+def reference_optimizer_state_dict(
+    opt_state: Any,
+    params_coarse: Params,
+    params_fine: Optional[Params],
+    lr: float = 5.0e-3,
+    betas: tuple = (0.9, 0.999),
+    eps: float = 1e-8,
+) -> Dict[str, Any]:
+    """Build a ``torch.optim.Adam``-format state dict from an optax opt state.
+
+    The reference resumes with ``optimizer.load_state_dict(...)``
+    (train_nerf.py:157-163) over ``list(coarse.parameters()) +
+    list(fine.parameters())``; this maps our Adam first/second moments (mu/nu)
+    onto those param indices, transposing weight moments to torch's (out, in)
+    layout. With no Adam moments in ``opt_state`` the result is a valid EMPTY
+    Adam state dict (fresh moments on resume) rather than ``{}``, which the
+    reference's ``load_state_dict`` would crash on.
+    """
+    import torch  # lazy: interop only
+
+    def ordered(tree: Optional[Params], params: Optional[Params]) -> list:
+        if tree is None or params is None:
+            return []
+        sd = to_torch_state_dict(tree)
+        return [sd[k] for k in reference_state_dict_order(params)]
+
+    num_params = len(ordered(params_coarse, params_coarse)) + len(
+        ordered(params_fine, params_fine)
+    )
+    state: Dict[int, Dict[str, Any]] = {}
+    found = _find_adam_moments(opt_state) if opt_state is not None else None
+    if found is not None:
+        count, mu, nu = found
+        mu_c, mu_f = mu.get("coarse"), mu.get("fine")
+        nu_c, nu_f = nu.get("coarse"), nu.get("fine")
+        exp_avgs = ordered(mu_c, params_coarse) + ordered(mu_f, params_fine)
+        exp_avg_sqs = ordered(nu_c, params_coarse) + ordered(nu_f, params_fine)
+        step_t = torch.tensor(float(np.asarray(count)))
+        for i, (m, v) in enumerate(zip(exp_avgs, exp_avg_sqs)):
+            state[i] = {
+                "step": step_t,
+                "exp_avg": torch.from_numpy(np.asarray(m, np.float32)),
+                "exp_avg_sq": torch.from_numpy(np.asarray(v, np.float32)),
+            }
+        num_params = len(exp_avgs)
+    return {
+        "state": state,
+        "param_groups": [
+            {
+                "lr": float(lr),
+                "betas": tuple(betas),
+                "eps": float(eps),
+                "weight_decay": 0,
+                "amsgrad": False,
+                "params": list(range(num_params)),
+            }
+        ],
+    }
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference ``.ckpt`` (torch zip format) into numpy pytrees.
 
@@ -118,10 +248,18 @@ def export_reference_checkpoint(
     psnr: float,
     optimizer_state_dict: Optional[Dict[str, Any]] = None,
     hwf: Optional[tuple] = None,
+    opt_state: Any = None,
+    lr: float = 5.0e-3,
 ) -> None:
-    """Write a reference-schema ``.ckpt`` readable by the reference's eval_nerf.py."""
+    """Write a reference-schema ``.ckpt`` readable by the reference's eval_nerf.py
+    AND resumable by its train_nerf.py (optimizer_state_dict carries our Adam
+    moments when ``opt_state`` is given; otherwise a valid empty Adam state)."""
     import torch  # lazy: interop only
 
+    if optimizer_state_dict is None:
+        optimizer_state_dict = reference_optimizer_state_dict(
+            opt_state, params_coarse, params_fine, lr=lr
+        )
     ckpt: Dict[str, Any] = {
         "iter": int(step),
         "model_coarse_state_dict": {
@@ -132,7 +270,7 @@ def export_reference_checkpoint(
             if params_fine is not None
             else None
         ),
-        "optimizer_state_dict": optimizer_state_dict or {},
+        "optimizer_state_dict": optimizer_state_dict,
         "loss": float(loss),
         "psnr": float(psnr),
     }

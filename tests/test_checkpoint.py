@@ -74,3 +74,88 @@ def test_latest_checkpoint(tmp_path):
     for step in [10, 5, 20]:
         save_checkpoint(str(tmp_path / f"checkpoint{step:05d}.ntc"), {"step": step})
     assert latest_checkpoint(str(tmp_path)).endswith("checkpoint00020.ntc")
+
+
+def test_reference_optimizer_state_export(tmp_path):
+    """Exported .ckpt optimizer_state_dict must be loadable by torch Adam over
+    a reference-ordered parameter list and carry our Adam moments (VERDICT r1
+    item 9: the reference's resume, train_nerf.py:157-163, must not crash).
+    The torch model here is an independent executable spec of the reference's
+    FlexibleNeRFModel registration order (nerf/models.py:185-230)."""
+    import torch
+
+    from nerf_tpu.engine.checkpoint import (
+        export_reference_checkpoint,
+        reference_optimizer_state_dict,
+    )
+    from nerf_tpu.engine.train import make_train_step
+    from nerf_tpu.engine.renderer import RenderSettings
+
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
+    state = create_train_state(model, model, opt, jax.random.PRNGKey(0))
+    settings = RenderSettings(
+        num_coarse=8, num_fine=8, perturb=True, radiance_field_noise_std=0.2,
+        near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+    )
+    step = make_train_step(model, model, settings, opt, jit=False)
+    key = jax.random.PRNGKey(1)
+    ro = jax.random.uniform(key, (16, 3), minval=-1, maxval=1)
+    rd = ro - jnp.array([0.0, 0.0, 2.0])
+    tgt = jax.random.uniform(key, (16, 3))
+    for i in range(2):
+        state, _ = step(state, ro, rd, tgt, jax.random.fold_in(key, i))
+
+    sd = reference_optimizer_state_dict(
+        state.opt_state, state.params_coarse, state.params_fine, lr=5e-3
+    )
+
+    # Independent torch spec: Linears registered in the reference's order.
+    class TorchFlexible(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layer1 = torch.nn.Linear(63, 128)
+            self.layers_xyz = torch.nn.ModuleList(
+                [torch.nn.Linear(128, 128) for _ in range(3)]
+            )
+            self.layers_dir = torch.nn.ModuleList(
+                [torch.nn.Linear(128 + 27, 64)]
+            )
+            self.fc_alpha = torch.nn.Linear(128, 1)
+            self.fc_rgb = torch.nn.Linear(64, 3)
+            self.fc_feat = torch.nn.Linear(128, 128)
+
+    coarse_t, fine_t = TorchFlexible(), TorchFlexible()
+    params = list(coarse_t.parameters()) + list(fine_t.parameters())
+    torch_opt = torch.optim.Adam(params, lr=5e-3)
+    torch_opt.load_state_dict(sd)  # the reference's exact resume call
+
+    # Moment 0 of param 0 must be our coarse layer1 mu, transposed to (out,in).
+    from nerf_tpu.engine.checkpoint import _find_adam_moments
+
+    count, mu, nu = _find_adam_moments(state.opt_state)
+    got = torch_opt.state_dict()["state"][0]["exp_avg"].numpy()
+    want = np.asarray(mu["coarse"]["layer1"]["kernel"]).T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert int(torch_opt.state_dict()["state"][0]["step"]) == 2
+
+    # And a torch step must run (shapes all line up).
+    for p in params:
+        p.grad = torch.zeros_like(p)
+    torch_opt.step()
+
+    # Weights-only export (no opt_state) still yields a loadable state dict.
+    sd_empty = reference_optimizer_state_dict(
+        None, state.params_coarse, state.params_fine
+    )
+    torch.optim.Adam(params, lr=5e-3).load_state_dict(sd_empty)
+
+    # Full-file roundtrip through export_reference_checkpoint.
+    path = str(tmp_path / "export.ckpt")
+    export_reference_checkpoint(
+        path, step=2, params_coarse=state.params_coarse,
+        params_fine=state.params_fine, loss=0.1, psnr=10.0,
+        opt_state=state.opt_state,
+    )
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    assert len(ckpt["optimizer_state_dict"]["state"]) == len(params)

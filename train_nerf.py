@@ -124,7 +124,10 @@ def load_dataset(cfg):
 
     if ds.type == "llff":
         images, poses, bds, render_poses, i_test = load_llff_data(
-            ds.basedir, factor=getattr(ds, "downsample_factor", 8)
+            ds.basedir,
+            factor=getattr(ds, "downsample_factor", 8),
+            spherify=bool(getattr(ds, "spherify", False)),
+            path_zflat=bool(getattr(ds, "path_zflat", False)),
         )
         hwf = poses[0, :3, -1]
         poses = poses[:, :3, :4]
@@ -292,6 +295,7 @@ def main():
         mesh = None
 
     loop_cache = {}
+    nan_guard = bool(getattr(cfg.experiment, "nan_guard", False))
 
     def get_loop(k_steps: int):
         """Compiled k-step loop, cached per length (the tail chunk when
@@ -301,12 +305,12 @@ def main():
             if mesh is not None:
                 loop_cache[k_steps] = make_parallel_train_loop(
                     model_coarse, model_fine, settings, optimizer, mesh,
-                    batch_size, k_steps,
+                    batch_size, k_steps, nan_guard=nan_guard,
                 )
             else:
                 loop_cache[k_steps] = make_train_loop(
                     model_coarse, model_fine, settings, optimizer,
-                    batch_size, k_steps,
+                    batch_size, k_steps, nan_guard=nan_guard,
                 )
         return loop_cache[k_steps]
 
