@@ -58,6 +58,17 @@ def main():
              "(the reference ships orbit GIFs as its demo artifact).",
     )
     parser.add_argument(
+        "--split", choices=["render", "train", "val", "test"], default="render",
+        help="Which poses to render: 'render' = the dataset's orbit/spiral "
+             "trajectory (reference behavior); train/val/test = that split's "
+             "camera poses (for held-out quality evaluation — the reference "
+             "has no such mode).",
+    )
+    parser.add_argument(
+        "--overrides", type=str, nargs="*", default=None,
+        help="Dotted-key value pairs, e.g. dataset.basedir /tmp/distilled",
+    )
+    parser.add_argument(
         "--precision", choices=["bfloat16", "float32"], default="float32",
         help="MLP compute dtype. float32 (default): exact parity. "
              "bfloat16: ~40%% faster, differences confined to a few "
@@ -66,16 +77,19 @@ def main():
     )
     args = parser.parse_args()
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, args.overrides)
 
     # Render poses come from the dataset type (reference eval_nerf.py:60-85);
     # blender scenes don't need images on disk for eval — use the standard orbit.
     if cfg.dataset.type == "blender":
         if cfg.dataset.basedir and os.path.isdir(cfg.dataset.basedir):
-            _, _, render_poses, hwf, _ = load_blender_data(
+            _, all_poses, render_poses, hwf, i_split = load_blender_data(
                 cfg.dataset.basedir, half_res=cfg.dataset.half_res,
                 testskip=cfg.dataset.testskip,
             )
+            if args.split != "render":
+                idx = {"train": 0, "val": 1, "test": 2}[args.split]
+                render_poses = all_poses[i_split[idx]]
             h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
         else:
             h = int(getattr(cfg.dataset, "height", 400))
@@ -85,6 +99,8 @@ def main():
             )
             render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
     elif cfg.dataset.type == "llff":
+        if args.split != "render":
+            raise SystemExit("--split is only supported for blender datasets")
         _, poses, _, render_poses, _ = load_llff_data(
             cfg.dataset.basedir,
             factor=getattr(cfg.dataset, "downsample_factor", 8),

@@ -1,0 +1,254 @@
+"""End-to-end CLI tests: drive the entry-point scripts as subprocesses.
+
+The engine layer is covered by unit/integration tests; these regression-test
+the CLI layer itself (argument parsing, config plumbing, checkpoint cadence,
+resume, eval rendering, metric evaluation) the way a user runs it — the
+test-pyramid level the reference lacks entirely (SURVEY.md §4).
+
+Each subprocess must force the CPU backend itself: the axon TPU plugin's
+sitecustomize overrides JAX_PLATFORMS programmatically, and a test must never
+claim the real TPU chip (single-claimant hardware). The launcher snippet
+below does the jax.config.update dance before running the script.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import imageio.v2 as imageio
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_LAUNCHER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import runpy
+sys.argv = sys.argv[1:]
+runpy.run_path(sys.argv[0], run_name="__main__")
+"""
+
+
+def run_cli(script: str, *args: str, timeout: int = 600) -> str:
+    """Run a repo CLI in a CPU-forced subprocess; returns stdout."""
+    cmd = [sys.executable, "-c", _LAUNCHER, os.path.join(REPO, script), *args]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO
+    )
+    assert proc.returncode == 0, (
+        f"{script} {' '.join(args)} failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def blender_scene(tmp_path_factory):
+    """A miniature on-disk blender dataset rendered from the analytic scene
+    (25x25, the reference's debug resolution, load_blender.py:86-99)."""
+    from nerf_tpu.data import pose_spherical
+    from nerf_tpu.data.synthetic import render_analytic_image
+
+    root = tmp_path_factory.mktemp("blender_scene")
+    size = 25
+    focal = 0.5 * size / np.tan(0.5 * 0.6911112070083618)
+    rng = np.random.default_rng(7)
+    for split, n in [("train", 6), ("val", 2), ("test", 2)]:
+        frames = []
+        os.makedirs(root / split, exist_ok=True)
+        for i in range(n):
+            theta = float(rng.uniform(-180, 180))
+            phi = float(rng.uniform(-60, -15))
+            pose = np.asarray(pose_spherical(theta, phi, 4.0))
+            rgb = np.asarray(
+                render_analytic_image(size, size, focal, pose[:3, :4])
+            )
+            rgba = np.concatenate(
+                [rgb, np.ones_like(rgb[..., :1])], axis=-1
+            )
+            imageio.imwrite(
+                root / split / f"r_{i}.png",
+                (np.clip(rgba, 0, 1) * 255).astype(np.uint8),
+            )
+            frames.append(
+                {
+                    "file_path": f"./{split}/r_{i}",
+                    "transform_matrix": pose.tolist(),
+                }
+            )
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.6911112070083618, "frames": frames}, f)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def scene_config(blender_scene, tmp_path_factory):
+    """A micro training config over the on-disk scene."""
+    logdir = str(tmp_path_factory.mktemp("logs"))
+    cfg = f"""
+experiment:
+  id: cli_e2e
+  logdir: {logdir}
+  randomseed: 3
+  train_iters: 60
+  validate_every: 30
+  save_every: 30
+  print_every: 10
+dataset:
+  type: blender
+  basedir: {blender_scene}
+  half_res: False
+  testskip: 1
+  no_ndc: True
+  near: 2.0
+  far: 6.0
+models:
+  coarse:
+    type: FlexibleNeRFModel
+    num_layers: 2
+    hidden_size: 32
+    num_encoding_fn_xyz: 4
+    num_encoding_fn_dir: 2
+    use_viewdirs: True
+  fine:
+    type: FlexibleNeRFModel
+    num_layers: 2
+    hidden_size: 32
+    num_encoding_fn_xyz: 4
+    num_encoding_fn_dir: 2
+    use_viewdirs: True
+optimizer:
+  type: Adam
+  lr: 5.0E-3
+nerf:
+  use_viewdirs: True
+  train:
+    num_random_rays: 128
+    chunksize: 1024
+    perturb: True
+    num_coarse: 8
+    num_fine: 8
+    white_background: False
+    radiance_field_noise_std: 0.2
+    lindisp: False
+  validation:
+    chunksize: 1024
+    perturb: False
+    num_coarse: 8
+    num_fine: 8
+    white_background: False
+    radiance_field_noise_std: 0.0
+    lindisp: False
+"""
+    path = tmp_path_factory.mktemp("cfg") / "scene.yml"
+    path.write_text(cfg)
+    return str(path), logdir
+
+
+def test_train_fresh_resume_eval_metrics(scene_config, tmp_path):
+    """The full user workflow: fresh train -> checkpoint -> resume -> eval
+    renders the val split -> evaluate_metrics scores it (VERDICT r1 item 10)."""
+    cfg_path, logdir = scene_config
+    rundir = os.path.join(logdir, "cli_e2e")
+
+    # Fresh run: stops at 30 iters, saves checkpoint00030.ntc.
+    out = run_cli(
+        "train_nerf.py", "--config", cfg_path,
+        "--overrides", "experiment.train_iters", "30",
+    )
+    assert os.path.exists(os.path.join(rundir, "checkpoint00030.ntc")), out
+    assert os.path.exists(os.path.join(rundir, "config.yml"))
+    assert os.path.exists(os.path.join(rundir, "metrics.jsonl"))
+
+    # Resume: picks up the latest checkpoint automatically, trains to 60.
+    out = run_cli("train_nerf.py", "--config", cfg_path)
+    assert "resumed from" in out and "at step 30" in out, out
+    assert os.path.exists(os.path.join(rundir, "checkpoint00060.ntc"))
+
+    # Eval: render the val split from the final checkpoint.
+    savedir = str(tmp_path / "renders")
+    out = run_cli(
+        "eval_nerf.py", "--config", cfg_path,
+        "--checkpoint", os.path.join(rundir, "checkpoint00060.ntc"),
+        "--savedir", savedir, "--split", "val", "--save-disparity-image",
+    )
+    assert os.path.exists(os.path.join(savedir, "0000.png"))
+    assert os.path.exists(os.path.join(savedir, "0001.png"))
+    assert os.path.exists(os.path.join(savedir, "disparity", "0000.png"))
+
+    # Metrics: compare renders against the on-disk val ground truth.
+    cfg_yaml = open(cfg_path).read()
+    basedir = [l.split(":", 1)[1].strip() for l in cfg_yaml.splitlines()
+               if "basedir" in l][0]
+    out = run_cli(
+        "evaluate_metrics.py", "--pred", savedir,
+        "--target", os.path.join(basedir, "val"),
+    )
+    result = json.loads(out[out.index("{"):])
+    assert result["num_images"] == 2
+    # 60 micro-iters won't converge; the metric just has to be finite and
+    # better than noise-vs-noise (~5 dB).
+    assert result["psnr_mean"] > 5.0
+
+
+def test_cache_then_train_from_cache(blender_scene, scene_config, tmp_path):
+    """cache_dataset.py -> train_nerf.py --overrides dataset.cachedir."""
+    cfg_path, _ = scene_config
+    cachedir = str(tmp_path / "cache")
+    run_cli(
+        "cache_dataset.py", "--datapath", blender_scene, "--type", "blender",
+        "--savedir", cachedir,
+    )
+    assert any(f.startswith("rays.") for f in os.listdir(cachedir))
+    logdir = str(tmp_path / "cache_logs")
+    out = run_cli(
+        "train_nerf.py", "--config", cfg_path,
+        "--overrides",
+        "dataset.cachedir", cachedir,
+        "experiment.logdir", logdir,
+        "experiment.train_iters", "20",
+        "experiment.save_every", "20",
+        "experiment.validate_every", "20",
+    )
+    assert "ray store:" in out
+    assert os.path.exists(os.path.join(logdir, "cli_e2e", "checkpoint00020.ntc"))
+
+
+def test_distill_dataset_cli(scene_config, tmp_path):
+    """distill_dataset.py: a trained checkpoint becomes a blender-format
+    dataset a fresh run can train on (the quality-parity loop, CI scale)."""
+    cfg_path, logdir = scene_config
+    ckpt = os.path.join(logdir, "cli_e2e", "checkpoint00060.ntc")
+    if not os.path.exists(ckpt):
+        pytest.skip("train e2e test must run first (module-ordered)")
+    outdir = str(tmp_path / "distilled")
+    run_cli(
+        "distill_dataset.py", "--config", cfg_path, "--checkpoint", ckpt,
+        "--savedir", outdir, "--num-train", "3", "--num-val", "2",
+        "--num-test", "2", "--size", "25",
+    )
+    with open(os.path.join(outdir, "transforms_train.json")) as f:
+        meta = json.load(f)
+    assert len(meta["frames"]) == 3
+    img = imageio.imread(os.path.join(outdir, "train", "r_0.png"))
+    assert img.shape == (25, 25, 3)
+
+    # The distilled set loads through the standard loader + trains.
+    from nerf_tpu.data import load_blender_data
+
+    imgs, poses, _, hwf, i_split = load_blender_data(outdir)
+    assert imgs.shape == (7, 25, 25, 3)
+    logdir2 = str(tmp_path / "distill_logs")
+    run_cli(
+        "train_nerf.py", "--config", cfg_path,
+        "--overrides",
+        "dataset.basedir", outdir,
+        "experiment.logdir", logdir2,
+        "experiment.train_iters", "10",
+        "experiment.save_every", "10",
+        "experiment.validate_every", "10",
+    )
+    assert os.path.exists(os.path.join(logdir2, "cli_e2e", "checkpoint00010.ntc"))
