@@ -1,6 +1,13 @@
-"""Device-mesh parallelism: ray/data-parallel training + rendering."""
+"""Device-mesh parallelism: ray/data-parallel training + rendering,
+multi-host initialization."""
 
-from .dp import make_parallel_render_fn, make_parallel_train_step
+from .distributed import is_primary, maybe_initialize_distributed
+from .dp import (
+    make_parallel_image_render_fn,
+    make_parallel_render_fn,
+    make_parallel_train_loop,
+    make_parallel_train_step,
+)
 from .mesh import (
     DATA_AXIS,
     data_sharding,
@@ -14,11 +21,15 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "data_sharding",
+    "is_primary",
     "make_mesh",
+    "maybe_initialize_distributed",
     "pad_to_devices",
     "replicate_tree",
     "replicated",
     "shard_batch",
+    "make_parallel_image_render_fn",
     "make_parallel_render_fn",
+    "make_parallel_train_loop",
     "make_parallel_train_step",
 ]

@@ -200,3 +200,84 @@ def make_parallel_render_fn(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_parallel_image_render_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+):
+    """Sharded full-image renderer: the H*W pixel rays are split across the
+    mesh's data axis; each device scans its shard in ``chunksize``-ray
+    megabatches (lax.map, like the single-device engine.renderer path); the
+    out-spec sharding reassembles the image — the all-gather the reference's
+    host-side chunk+concat loop (train_utils.py:170-200) becomes.
+
+    render(params_coarse, params_fine, ray_origins (H,W,3),
+           ray_directions (H,W,3)) -> dict of (H,W[,3]) maps.
+    """
+    eval_settings = settings.eval_variant()
+    n_shards = mesh.shape[axis]
+
+    def shard_render(params_coarse, params_fine, ro, rd):
+        n = ro.shape[0]
+        chunk = min(eval_settings.chunksize, n)
+        num_chunks = -(-n // chunk)
+        pad = num_chunks * chunk - n
+        if pad:
+            ro = jnp.concatenate([ro, jnp.repeat(ro[-1:], pad, 0)])
+            rd = jnp.concatenate([rd, jnp.repeat(rd[-1:], pad, 0)])
+
+        def render_chunk(args):
+            ro_c, rd_c = args
+            out = render_rays(
+                model_coarse, params_coarse, model_fine, params_fine,
+                ro_c, rd_c, eval_settings, None,
+            )
+            res = {
+                "rgb_coarse": out.coarse.rgb,
+                "disp_coarse": out.coarse.disp,
+                "acc_coarse": out.coarse.acc,
+            }
+            if out.fine is not None:
+                res.update(
+                    rgb_fine=out.fine.rgb,
+                    disp_fine=out.fine.disp,
+                    acc_fine=out.fine.acc,
+                )
+            return res
+
+        maps = jax.lax.map(
+            render_chunk,
+            (ro.reshape(num_chunks, chunk, 3), rd.reshape(num_chunks, chunk, 3)),
+        )
+        return {
+            k: v.reshape((num_chunks * chunk,) + v.shape[2:])[:n]
+            for k, v in maps.items()
+        }
+
+    sharded = jax.shard_map(
+        shard_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def render_image(params_coarse, params_fine, ray_origins, ray_directions):
+        h, w = ray_origins.shape[0], ray_origins.shape[1]
+        ro = ray_origins.reshape(-1, 3)
+        rd = ray_directions.reshape(-1, 3)
+        n = ro.shape[0]
+        padded = -(-n // n_shards) * n_shards
+        if padded != n:
+            ro = jnp.concatenate([ro, jnp.repeat(ro[-1:], padded - n, 0)])
+            rd = jnp.concatenate([rd, jnp.repeat(rd[-1:], padded - n, 0)])
+        maps = sharded(params_coarse, params_fine, ro, rd)
+        return {
+            k: v[:n].reshape((h, w) + v.shape[1:]) for k, v in maps.items()
+        }
+
+    return jax.jit(render_image)

@@ -54,9 +54,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays, axis: str = DATA_AXIS):
-    """Place arrays with axis 0 sharded across the mesh's data axis."""
+    """Place arrays with axis 0 sharded across the mesh's data axis.
+
+    Multi-host: each process passes the same (host-replicated) global array;
+    its local devices receive their rows via
+    ``jax.make_array_from_process_local_data`` (device_put cannot target
+    non-addressable devices).
+    """
     sharding = data_sharding(mesh, axis)
-    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    if jax.process_count() > 1:
+        from .distributed import process_local_rows
+
+        out = tuple(
+            jax.make_array_from_process_local_data(
+                sharding, process_local_rows(a, sharding), np.shape(a)
+            )
+            for a in arrays
+        )
+    else:
+        out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

@@ -119,3 +119,60 @@ def test_parallel_render_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out["disp_coarse"]), np.asarray(ref.coarse.disp), rtol=1e-3, atol=1e-5
     )
+
+
+def test_parallel_image_render_matches_single_device():
+    """Sharded full-image render == single-device lax.map renderer, including
+    the pad/unpad path (H*W not divisible by the mesh size)."""
+    from nerf_tpu.engine.renderer import make_image_render_fn
+    from nerf_tpu.ops import get_ray_bundle
+    from nerf_tpu.data import pose_spherical
+    from nerf_tpu.parallel import make_mesh, make_parallel_image_render_fn
+
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16, num_encoding_fn_xyz=4, num_encoding_fn_dir=2
+    )
+    pc = model.init(jax.random.PRNGKey(0))
+    pf = model.init(jax.random.PRNGKey(1))
+    settings = RenderSettings(
+        num_coarse=8, num_fine=8, perturb=False, radiance_field_noise_std=0.0,
+        near=2.0, far=6.0, num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+        chunksize=16,
+    )
+    h = w = 9  # 81 rays: not divisible by 8 devices, nor by chunksize
+    pose = jnp.asarray(pose_spherical(30.0, -45.0, 4.0), jnp.float32)[:3, :4]
+    ro, rd = get_ray_bundle(h, w, 0.5 * w, pose)
+
+    mesh = make_mesh()
+    sharded = make_parallel_image_render_fn(model, model, settings, mesh)
+    serial = make_image_render_fn(model, model, settings)
+    out_s = sharded(pc, pf, ro, rd)
+    out_1 = serial(pc, pf, ro, rd)
+    assert set(out_s) == set(out_1)
+    for k in out_1:
+        np.testing.assert_allclose(
+            np.asarray(out_s[k]), np.asarray(out_1[k]), rtol=2e-5, atol=2e-6,
+            err_msg=k,
+        )
+
+
+def test_distributed_helpers_single_host():
+    """maybe_initialize_distributed is a no-op without cluster env vars;
+    is_primary is True; process_local_rows round-trips on one process."""
+    import os
+
+    from nerf_tpu.parallel import is_primary, maybe_initialize_distributed
+    from nerf_tpu.parallel.distributed import process_local_rows
+    from nerf_tpu.parallel import make_mesh, data_sharding
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "NERF_TPU_DISTRIBUTED"):
+        assert var not in os.environ
+    assert maybe_initialize_distributed() is False
+    assert is_primary() is True
+
+    # One process owns all devices -> local rows == the full array.
+    mesh = make_mesh()
+    arr = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    local = process_local_rows(arr, data_sharding(mesh))
+    np.testing.assert_array_equal(local, arr)

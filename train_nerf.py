@@ -57,7 +57,9 @@ from nerf_tpu.engine.train import (
 )
 from nerf_tpu.ops import get_ray_bundle, img2mse, mse2psnr
 from nerf_tpu.parallel import (
+    is_primary,
     make_mesh,
+    maybe_initialize_distributed,
     pad_to_devices,
     replicate_tree,
     shard_batch,
@@ -182,6 +184,15 @@ def main():
     )
     args = parser.parse_args()
 
+    # Multi-host: join the cluster BEFORE any backend init so jax.devices()
+    # is the global device list (no-op on single host). All processes run the
+    # identical program; file writes are gated on process 0 below.
+    if maybe_initialize_distributed():
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
+
     cfg = load_config(args.config, args.overrides)
     key = jax.random.PRNGKey(int(cfg.experiment.randomseed))
 
@@ -224,10 +235,14 @@ def main():
     start_iter = 0
 
     logdir = os.path.join(cfg.experiment.logdir, cfg.experiment.id)
-    os.makedirs(logdir, exist_ok=True)
-    with open(os.path.join(logdir, "config.yml"), "w") as f:
-        f.write(cfg.dump())
-    writer = MetricWriter(logdir)
+    # Process-0-gated writes: on a multi-host cluster every process trains
+    # the same replicated state; only the primary touches the filesystem.
+    primary = is_primary()
+    if primary:
+        os.makedirs(logdir, exist_ok=True)
+        with open(os.path.join(logdir, "config.yml"), "w") as f:
+            f.write(cfg.dump())
+    writer = MetricWriter(logdir) if primary else None
     rate = RateMeter()
 
     ckpt_path = args.load_checkpoint or latest_checkpoint(logdir)
@@ -331,20 +346,21 @@ def main():
         metrics = last
 
         psnr_v = float(metrics.psnr)
-        print(
-            f"[TRAIN] iter {i_end} loss {loss:.6f} psnr {psnr_v:.3f} "
-            f"rays/s {rate.rate():,.0f}"
-        )
-        writer.scalars(
-            {
-                "train/loss": loss,
-                "train/coarse_loss": float(metrics.coarse_loss),
-                "train/fine_loss": float(metrics.fine_loss),
-                "train/psnr": psnr_v,
-                "train/rays_per_sec": rate.rate(),
-            },
-            i_end,
-        )
+        if primary:
+            print(
+                f"[TRAIN] iter {i_end} loss {loss:.6f} psnr {psnr_v:.3f} "
+                f"rays/s {rate.rate():,.0f}"
+            )
+            writer.scalars(
+                {
+                    "train/loss": loss,
+                    "train/coarse_loss": float(metrics.coarse_loss),
+                    "train/fine_loss": float(metrics.fine_loss),
+                    "train/psnr": psnr_v,
+                    "train/rays_per_sec": rate.rate(),
+                },
+                i_end,
+            )
 
         done = i_end + 1  # completed iterations
         prev_done = i
@@ -355,7 +371,7 @@ def main():
             # robust when `every` is not a multiple of the chunk length.
             return done // every > prev_done // every
 
-        if val_images is not None and (
+        if primary and val_images is not None and (
             crossed(int(cfg.experiment.validate_every)) or done >= train_iters
         ):
             t_val = time.time()
@@ -391,7 +407,9 @@ def main():
                 f"({time.time() - t_val:.2f}s)"
             )
 
-        if crossed(int(cfg.experiment.save_every)) or done >= train_iters:
+        if primary and (
+            crossed(int(cfg.experiment.save_every)) or done >= train_iters
+        ):
             save_checkpoint(
                 os.path.join(logdir, f"checkpoint{done:05d}.ntc"),
                 {
@@ -404,8 +422,10 @@ def main():
                 },
             )
 
-    writer.close()
-    print(f"done: {train_iters - start_iter} iters in {time.time() - t_start:.1f}s")
+    if writer is not None:
+        writer.close()
+    if primary:
+        print(f"done: {train_iters - start_iter} iters in {time.time() - t_start:.1f}s")
 
 
 if __name__ == "__main__":
