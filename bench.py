@@ -69,7 +69,10 @@ def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
     return calls * steps_per_call * batch / dt
 
 
-def bench_render(side: int = 400) -> float:
+def bench_render(side: int = 400, use_pallas: bool = True) -> float:
+    """Image-render throughput. use_pallas=True is the production eval path
+    (feature-major fused encode+MLP kernel + XLA compositing, eval_nerf.py's
+    default); False measures the pure-XLA parity path."""
     from nerf_tpu.data import pose_spherical
     from nerf_tpu.engine.renderer import RenderSettings, make_image_render_fn
     from nerf_tpu.models import FlexibleNeRFModel
@@ -78,7 +81,7 @@ def bench_render(side: int = 400) -> float:
     settings = RenderSettings(
         num_coarse=64, num_fine=64, perturb=False, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
-        chunksize=65536, compute_dtype="bfloat16",
+        chunksize=65536, compute_dtype="bfloat16", use_pallas=use_pallas,
     )
     model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     pc = model.init(jax.random.PRNGKey(0))
@@ -117,14 +120,19 @@ def bench_render(side: int = 400) -> float:
 def main():
     train_rps = bench_train()
     train_rps_bf16 = bench_train(compute_dtype="bfloat16")
-    render_rps = bench_render()
+    render_400 = bench_render(400)
+    render_800 = bench_render(800)
+    render_800_xla = bench_render(800, use_pallas=False)
     result = {
         "metric": "train rays/sec/chip (lego-lowres protocol: 1024-ray batch, 64+64 samples, fwd+bwd+adam)",
         "value": round(train_rps, 1),
         "unit": "rays/sec",
         "vs_baseline": round(train_rps / REFERENCE_TRAIN_RAYS_PER_SEC, 2),
         "train_rays_per_sec_bf16": round(train_rps_bf16, 1),
-        "render_rays_per_sec_400px": round(render_rps, 1),
+        "render_rays_per_sec_400px": round(render_400, 1),
+        "render_rays_per_sec_800px": round(render_800, 1),
+        "render_sec_per_frame_800px": round(800 * 800 / render_800, 3),
+        "render_rays_per_sec_800px_xla": round(render_800_xla, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

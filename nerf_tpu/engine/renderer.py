@@ -137,10 +137,11 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     """Evaluate the radiance field at sample points: fused Pallas kernel when
     enabled + applicable, else positional-encode + MLP apply via XLA."""
     if s.use_pallas and viewdirs is not None and s.log_sampling_xyz and s.log_sampling_dir:
-        from ..ops.pallas.mlp import fused_flexible_mlp_rays, supports_fused
+        from ..ops.pallas.mlp import supports_fused
+        from ..ops.pallas.mlp_t import fused_mlp_t
 
         if supports_fused(model, params) and pts.ndim == 3:
-            return fused_flexible_mlp_rays(params, pts, viewdirs)
+            return fused_mlp_t(params, pts, viewdirs, compute_dtype=s.compute_dtype)
 
     def eval_fn(p, pts_, viewdirs_):
         enc = encode_points(pts_, viewdirs_, s)
@@ -160,47 +161,25 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
 def _render_stage(model, params, pts, viewdirs, z_vals, rd, s: RenderSettings, noise_key):
     """One coarse-or-fine stage: radiance-field eval + compositing.
 
-    On the deterministic pallas path with the fusable default model shape,
-    the ENTIRE stage runs as one whole-stage kernel (encode + MLP +
-    transmittance scan in VMEM — the radiance field never exists in HBM);
-    otherwise eval and compositing compose as separate (XLA or kernel) steps.
+    Pallas path = feature-major fused encode+MLP kernel (ops/pallas/mlp_t —
+    activations never touch HBM) + compositing kernel. The radiance field
+    DOES pass through HBM between them: at 16 B/point that is ~2 ms of a
+    full 800px frame, which is why the round-1 whole-stage kernel
+    (ops/pallas/stage.py) was retired from this path — its point-major
+    layout capped tiles at 1k points and lost ~35% to grid overhead
+    (see docs/PARITY.md, Pallas notes).
     """
-    if (
-        s.use_pallas
-        and viewdirs is not None
-        and s.radiance_field_noise_std == 0.0
-        and s.log_sampling_xyz
-        and s.log_sampling_dir
-        and pts.ndim == 3
-    ):
-        from ..ops.pallas.mlp import supports_fused
-        from ..ops.pallas.stage import fused_render_stage
-
-        if supports_fused(model, params):
-            out = fused_render_stage(
-                params, pts, viewdirs, z_vals, rd,
-                white_background=s.white_background,
-                compute_dtype=s.compute_dtype,
-            )
-            return RenderOutputs(
-                out["rgb"], out["disp"], out["acc"], out["weights"], out["depth"]
-            )
     rf = _eval_radiance_field(model, params, pts, viewdirs, s)
     return _composite(rf, z_vals, rd, s, noise_key)
 
 
 def _composite(rf, z_vals, rd, s: RenderSettings, noise_key):
-    """Volume compositing: fused Pallas kernel on the deterministic pallas
-    path, XLA renderer otherwise (noise / training / non-pallas)."""
-    if s.use_pallas and s.radiance_field_noise_std == 0.0:
-        from ..ops.pallas.composite import fused_volume_render
-
-        out = fused_volume_render(
-            rf, z_vals, rd, white_background=s.white_background
-        )
-        return RenderOutputs(
-            out["rgb"], out["disp"], out["acc"], out["weights"], out["depth"]
-        )
+    """Volume compositing: always the XLA renderer. Measured on-chip
+    (round 2, 800px interleaved A/B): with the feature-major MLP kernel
+    feeding it, XLA compositing beats chaining the round-1 Pallas composite
+    kernel (592 vs 651 ms/frame bf16) — the scan is bandwidth-trivial and
+    XLA fuses it with the surrounding reshapes, while the kernel adds a
+    dispatch + layout round-trip (docs/PARITY.md, Pallas notes)."""
     return volume_render_radiance_field(
         rf, z_vals, rd,
         radiance_field_noise_std=s.radiance_field_noise_std,
@@ -264,6 +243,11 @@ def render_rays(
     fine = None
     if s.num_fine > 0:
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        # Resampling stays on the XLA gather-free formulation even on the
+        # pallas path: the fused kernel (ops/pallas/resample.py) measured
+        # 742 -> 952 ms/frame at 800px bf16 when wired here — the compare
+        # plane is VPU-bound and XLA already fuses it with the CDF build,
+        # so the kernel only adds dispatch overhead (docs/PARITY.md).
         z_samples = sample_pdf(
             z_mid,
             coarse.weights[..., 1:-1],

@@ -42,8 +42,14 @@ def _resample_kernel(num_bins: int):
 
         pdf = w / jnp.sum(w, axis=-1, keepdims=True)
         # Inclusive prefix sum as a triangular-ones matmul (no cumsum in
-        # Mosaic): (pdf @ tri)[r, j] = sum_{i<=j} pdf[r, i].
-        cdf_inc = jnp.dot(pdf, tri_ref[:], preferred_element_type=f32)
+        # Mosaic): (pdf @ tri)[r, j] = sum_{i<=j} pdf[r, i]. Precision MUST
+        # be HIGHEST: the MXU's default bf16 inputs would round the CDF to
+        # ~4e-3 absolute, shifting interpolated samples by ~0.06 bin widths
+        # (measured on-chip). The matmul is (R, M)x(M, M) — tiny either way.
+        cdf_inc = jnp.dot(
+            pdf, tri_ref[:], preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         cdf = jnp.concatenate(
             [jnp.zeros((pdf.shape[0], 1), f32), cdf_inc], axis=-1
         )  # (R, M) — zero-prepended like the reference (nerf_helpers.py:268)
@@ -80,7 +86,7 @@ def fused_sample_pdf(
     num_samples: int,
     key: jax.Array | None = None,
     det: bool = False,
-    rays_per_tile: int = 256,
+    rays_per_tile: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in Pallas variant of ops.sampling.sample_pdf for 2-D inputs.
@@ -91,6 +97,14 @@ def fused_sample_pdf(
     """
     n, m = bins.shape
     dtype = jnp.float32
+    if rays_per_tile is None:
+        # The kernel materializes ~6 (R, S, M) f32 temporaries (the compare
+        # plane and its masked broadcasts); size R to keep them within ~10 MB
+        # of the 16 MB scoped-VMEM limit (measured: R=64 at S=128, M=63 needs
+        # 16.26 MB and fails to compile; R=256 at 64x64 needs 34 MB).
+        budget = 10 * 1024 * 1024
+        rays_per_tile = max(8, min(256, budget // (num_samples * m * 4 * 6)))
+    rays_per_tile = max(8, rays_per_tile - rays_per_tile % 8)  # sublane-aligned
     if det:
         u = jnp.broadcast_to(
             jnp.linspace(0.0, 1.0, num_samples, dtype=dtype), (n, num_samples)

@@ -1,0 +1,74 @@
+"""Feature-major fused encode+MLP kernel (interpret mode) vs the XLA path.
+
+The production eval evaluator (engine.renderer dispatches to it when
+use_pallas is on). Real-TPU Mosaic parity: tests/test_tpu_kernels.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_tpu.engine.renderer import RenderSettings, encode_points
+from nerf_tpu.models import FlexibleNeRFModel
+from nerf_tpu.ops.pallas.mlp_t import fused_mlp_t
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("n,s", [(33, 64), (128, 64), (5, 128)])
+def test_matches_xla_radiance_field(flagship, n, s):
+    model, params = flagship
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.uniform(key, (n, s, 3), minval=-1.3, maxval=1.3)
+    vd = jax.random.normal(key, (n, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+
+    st = RenderSettings(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    want = np.asarray(model.apply(params, encode_points(pts, vd, st)))
+    got = np.asarray(fused_mlp_t(params, pts, vd, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_renderer_dispatches_to_kernel(flagship, monkeypatch):
+    """use_pallas=True routes radiance-field eval through fused_mlp_t for the
+    fusable flagship shape (and the kernel actually runs)."""
+    import nerf_tpu.ops.pallas.mlp_t as mlp_t_mod
+    from nerf_tpu.engine.renderer import render_rays
+
+    model, params = flagship
+    calls = {"n": 0}
+    real = mlp_t_mod.fused_mlp_t
+
+    def spy(*args, **kwargs):
+        calls["n"] += 1
+        kwargs["interpret"] = True  # CPU backend in tests
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(mlp_t_mod, "fused_mlp_t", spy)
+    key = jax.random.PRNGKey(2)
+    ro = jax.random.uniform(key, (16, 3), minval=-1, maxval=1)
+    rd = ro - jnp.array([0.0, 0.0, 2.0])
+    settings = RenderSettings(
+        num_coarse=8, num_fine=8, perturb=False, radiance_field_noise_std=0.0,
+        near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+        use_pallas=True,
+    )
+    out = render_rays(model, params, model, params, ro, rd, settings, None)
+    assert calls["n"] == 2  # coarse + fine stages
+    assert np.isfinite(np.asarray(out.fine.rgb)).all()
+
+    # XLA path agrees (interpret kernel is bit-faithful).
+    import dataclasses
+
+    xla = render_rays(
+        model, params, model, params, ro, rd,
+        dataclasses.replace(settings, use_pallas=False), None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.fine.rgb), np.asarray(xla.fine.rgb), rtol=1e-4, atol=1e-4
+    )
