@@ -131,6 +131,11 @@ def _find_adam_moments(opt_state: Any):
     fields = getattr(opt_state, "_fields", None)
     if fields is not None and {"count", "mu", "nu"} <= set(fields):
         return opt_state.count, opt_state.mu, opt_state.nu
+    def _moment_like(x: Any) -> bool:
+        # mu/nu are either param-trees (dicts) or, with optax.flatten, one
+        # raveled 1-D vector.
+        return isinstance(x, dict) or getattr(x, "ndim", None) == 1
+
     if isinstance(opt_state, dict):
         if {"count", "mu", "nu"} <= set(opt_state):
             return opt_state["count"], opt_state["mu"], opt_state["nu"]
@@ -138,9 +143,10 @@ def _find_adam_moments(opt_state: Any):
     elif isinstance(opt_state, (list, tuple)):
         if (
             len(opt_state) == 3
-            and isinstance(opt_state[1], dict)
-            and isinstance(opt_state[2], dict)
+            and _moment_like(opt_state[1])
+            and _moment_like(opt_state[2])
             and not isinstance(opt_state[0], (dict, list, tuple))
+            and getattr(opt_state[0], "ndim", 0) == 0
         ):
             return opt_state[0], opt_state[1], opt_state[2]
         values = opt_state
@@ -186,6 +192,16 @@ def reference_optimizer_state_dict(
     found = _find_adam_moments(opt_state) if opt_state is not None else None
     if found is not None:
         count, mu, nu = found
+        if not isinstance(mu, dict):
+            # optax.flatten stores the moments as one raveled vector over the
+            # trainable tree {"coarse": ..., "fine": ...}; unravel with the
+            # params template (identical structure by construction).
+            from jax.flatten_util import ravel_pytree
+
+            template = {"coarse": params_coarse, "fine": params_fine}
+            _, unravel = ravel_pytree(jax.tree.map(np.asarray, template))
+            mu = unravel(np.asarray(mu))
+            nu = unravel(np.asarray(nu))
         mu_c, mu_f = mu.get("coarse"), mu.get("fine")
         nu_c, nu_f = nu.get("coarse"), nu.get("fine")
         exp_avgs = ordered(mu_c, params_coarse) + ordered(mu_f, params_fine)

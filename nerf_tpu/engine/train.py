@@ -83,7 +83,12 @@ def make_optimizer(
     opt = table[name](learning_rate=schedule)
     if grad_clip_norm:
         opt = optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), opt)
-    return opt
+    # optax.flatten: run the update on ONE raveled parameter vector instead of
+    # 14 tiny per-leaf tensors. Profiling (docs/PARITY.md, training roofline)
+    # showed per-leaf Adam updates of 128x128-class tensors costing 18% of
+    # the train step on TPU (tiny-op launch latency); flattening is
+    # numerically identical and worth ~5% end-to-end.
+    return optax.flatten(opt)
 
 
 def create_train_state(

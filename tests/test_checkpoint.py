@@ -131,9 +131,21 @@ def test_reference_optimizer_state_export(tmp_path):
     torch_opt.load_state_dict(sd)  # the reference's exact resume call
 
     # Moment 0 of param 0 must be our coarse layer1 mu, transposed to (out,in).
+    # (make_optimizer wraps in optax.flatten, so mu is one raveled vector —
+    # unravel with the trainable template exactly as the exporter does.)
+    from jax.flatten_util import ravel_pytree
+
     from nerf_tpu.engine.checkpoint import _find_adam_moments
 
     count, mu, nu = _find_adam_moments(state.opt_state)
+    if not isinstance(mu, dict):
+        _, unravel = ravel_pytree(
+            jax.tree.map(
+                np.asarray,
+                {"coarse": state.params_coarse, "fine": state.params_fine},
+            )
+        )
+        mu = unravel(np.asarray(mu))
     got = torch_opt.state_dict()["state"][0]["exp_avg"].numpy()
     want = np.asarray(mu["coarse"]["layer1"]["kernel"]).T
     np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -257,6 +257,16 @@ def main():
         restored_opt_leaves = [
             jnp.asarray(x) for x in jax.tree.leaves(restored.get("opt_state", {}))
         ]
+        current_leaves = jax.tree.leaves(template["opt_state"])
+        shapes_match = len(restored_opt_leaves) == len(current_leaves) and all(
+            a.shape == b.shape for a, b in zip(restored_opt_leaves, current_leaves)
+        )
+        if restored_opt_leaves and not shapes_match:
+            # Optimizer-state layout changed since the checkpoint was written
+            # (e.g. per-leaf -> flattened Adam): weights still restore; the
+            # moments restart fresh.
+            print("checkpoint optimizer layout differs; starting Adam fresh")
+            restored_opt_leaves = []
         if restored_opt_leaves:
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(template["opt_state"]), restored_opt_leaves
