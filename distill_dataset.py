@@ -92,6 +92,11 @@ def main():
         "--precision", choices=["bfloat16", "float32"], default="float32",
         help="Teacher render dtype (float32: exact teacher).",
     )
+    parser.add_argument(
+        "--renderer", choices=["pallas", "xla"], default="xla",
+        help="xla (default): the parity-exact teacher. pallas: ~2x faster, "
+             "differs at a few resample-boundary pixels.",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -104,7 +109,11 @@ def main():
     settings = render_settings_from_config(cfg, "validation", hwf=(h, w, focal))
     import dataclasses
 
-    settings = dataclasses.replace(settings, compute_dtype=args.precision)
+    settings = dataclasses.replace(
+        settings,
+        compute_dtype=args.precision,
+        use_pallas=(args.renderer == "pallas"),
+    )
     render_image = make_image_render_fn(model_coarse, model_fine, settings)
 
     rng = np.random.default_rng(args.seed)
