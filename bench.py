@@ -69,6 +69,61 @@ def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
     return calls * steps_per_call * batch / dt
 
 
+def bench_render_pipelined(side: int = 800, frames: int = 8,
+                           chunksize: int = 0) -> float:
+    """Sustained render throughput with the eval CLI's 2-deep dispatch
+    pipeline: frame i+1 is dispatched before frame i's image is fetched, so
+    the host transfer (~150 ms for an 800px frame over the axon relay)
+    overlaps device compute instead of serializing after it. This is the
+    production eval_nerf.py architecture (eval_nerf.py render loop);
+    steady-state = max(device_time, fetch_time) per frame."""
+    import numpy as _np
+
+    from nerf_tpu.data import pose_spherical
+    from nerf_tpu.engine.renderer import RenderSettings, make_image_render_fn
+    from nerf_tpu.models import FlexibleNeRFModel
+    from nerf_tpu.ops import get_ray_bundle
+
+    settings = RenderSettings(
+        num_coarse=64, num_fine=64, perturb=False, white_background=True,
+        near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+        chunksize=chunksize or side * side, compute_dtype="bfloat16",
+        use_pallas=True,
+    )
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    pc = model.init(jax.random.PRNGKey(0))
+    pf = model.init(jax.random.PRNGKey(1))
+    render = make_image_render_fn(model, model, settings)
+
+    focal = 0.5 * side / float(jnp.tan(0.5 * 0.6911112070083618))
+
+    def rays_for(theta):
+        pose = jnp.asarray(pose_spherical(theta, -30.0, 4.0))
+        return get_ray_bundle(side, side, focal, pose)
+
+    @jax.jit
+    def render_u8(pc_, pf_, ro, rd):
+        # Device-side uint8 cast, same as eval_nerf.py's write path: the
+        # fetched bytes are the PNG pixels; an f32 fetch would quadruple the
+        # transfer and (on the remote-chip relay) serialize after compute.
+        rgb = render(pc_, pf_, ro, rd)["rgb_fine"]
+        return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    bundles = [rays_for(40.0 + 5.0 * i) for i in range(frames)]
+    _np.asarray(render_u8(pc, pf, *bundles[0]))  # compile + warm
+
+    t0 = time.perf_counter()
+    pending = None
+    for ro, rd in bundles:
+        out = render_u8(pc, pf, ro, rd)  # async dispatch
+        if pending is not None:
+            _np.asarray(pending)         # fetch previous while this one runs
+        pending = out
+    _np.asarray(pending)
+    dt = time.perf_counter() - t0
+    return frames * side * side / dt
+
+
 def bench_render(side: int = 400, use_pallas: bool = True) -> float:
     """Image-render throughput. use_pallas=True is the production eval path
     (feature-major fused encode+MLP kernel + XLA compositing, eval_nerf.py's
@@ -81,7 +136,11 @@ def bench_render(side: int = 400, use_pallas: bool = True) -> float:
     settings = RenderSettings(
         num_coarse=64, num_fine=64, perturb=False, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
-        chunksize=65536, compute_dtype="bfloat16", use_pallas=use_pallas,
+        # The fused kernel keeps activations in VMEM, so the whole image fits
+        # in one chunk; the XLA path materializes (chunk, S, 128) hidden
+        # activations in HBM and needs ray tiling.
+        chunksize=side * side if use_pallas else 65536,
+        compute_dtype="bfloat16", use_pallas=use_pallas,
     )
     model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     pc = model.init(jax.random.PRNGKey(0))
@@ -123,6 +182,7 @@ def main():
     render_400 = bench_render(400)
     render_800 = bench_render(800)
     render_800_xla = bench_render(800, use_pallas=False)
+    render_800_sustained = bench_render_pipelined(800)
     result = {
         "metric": "train rays/sec/chip (lego-lowres protocol: 1024-ray batch, 64+64 samples, fwd+bwd+adam)",
         "value": round(train_rps, 1),
@@ -132,6 +192,9 @@ def main():
         "render_rays_per_sec_400px": round(render_400, 1),
         "render_rays_per_sec_800px": round(render_800, 1),
         "render_sec_per_frame_800px": round(800 * 800 / render_800, 3),
+        "render_rays_per_sec_800px_sustained": round(render_800_sustained, 1),
+        "render_sec_per_frame_800px_sustained": round(
+            800 * 800 / render_800_sustained, 3),
         "render_rays_per_sec_800px_xla": round(render_800_xla, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -170,7 +170,19 @@ def main():
         compute_dtype=args.precision,
         use_pallas=(args.renderer == "pallas"),
     )
-    render_image = make_image_render_fn(model_coarse, model_fine, settings)
+    base_render = make_image_render_fn(model_coarse, model_fine, settings)
+
+    # Device-side uint8 cast of the displayed map: the saved PNG bytes are
+    # identical to host-casting (both truncate, cast_to_image above), but the
+    # per-frame host transfer drops 4x (f32 -> u8) — at 800px that is the
+    # difference between the fetch hiding behind the next frame's compute and
+    # it serializing after it (~150 ms/frame over the remote-chip relay).
+    @jax.jit
+    def render_image(pc_, pf_, ro, rd):
+        maps = dict(base_render(pc_, pf_, ro, rd))
+        rgb = maps.get("rgb_fine", maps["rgb_coarse"])
+        maps["rgb_u8"] = (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return maps
 
     os.makedirs(args.savedir, exist_ok=True)
     if args.save_disparity_image:
@@ -181,8 +193,9 @@ def main():
         poses = poses[: args.num_poses]
 
     def write_out(i, maps):
-        rgb = np.asarray(maps.get("rgb_fine", maps["rgb_coarse"]))
-        imageio.imwrite(os.path.join(args.savedir, f"{i:04d}.png"), cast_to_image(rgb))
+        imageio.imwrite(
+            os.path.join(args.savedir, f"{i:04d}.png"), np.asarray(maps["rgb_u8"])
+        )
         if args.save_disparity_image:
             disp = maps.get("disp_fine", maps["disp_coarse"])
             imageio.imwrite(
