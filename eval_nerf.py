@@ -108,8 +108,6 @@ def main():
             )
             render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
     elif cfg.dataset.type == "llff":
-        if args.split != "render":
-            raise SystemExit("--split is only supported for blender datasets")
         _, poses, _, render_poses, _ = load_llff_data(
             cfg.dataset.basedir,
             factor=getattr(cfg.dataset, "downsample_factor", 8),
@@ -118,6 +116,16 @@ def main():
         )
         hwf = poses[0, :3, -1]
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+        if args.split != "render":
+            # llffhold split, same as training (reference train_nerf.py:75-84:
+            # every llffhold-th view is held out; val == test for LLFF).
+            llffhold = int(getattr(cfg.dataset, "llffhold", 8))
+            i_test = np.arange(poses.shape[0])[::max(llffhold, 1)]
+            if args.split == "train":
+                sel = np.array([i for i in range(poses.shape[0]) if i not in i_test])
+            else:
+                sel = i_test
+            render_poses = poses[sel, :3, :4]
     elif cfg.dataset.type == "synthetic":
         # Procedural scene: standard spherical orbit at the training FOV.
         h = w = int(getattr(cfg.dataset, "image_size", 64))

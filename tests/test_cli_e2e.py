@@ -252,3 +252,55 @@ def test_distill_dataset_cli(scene_config, tmp_path):
         "experiment.validate_every", "10",
     )
     assert os.path.exists(os.path.join(logdir2, "cli_e2e", "checkpoint00010.ntc"))
+
+
+FERN_CKPT = "/root/reference/pretrained/fern-lowres/checkpoint249999.ckpt"
+
+
+@pytest.mark.skipif(not os.path.exists(FERN_CKPT), reason="pretrained absent")
+def test_distill_llff_cli(tmp_path):
+    """distill_dataset.py LLFF layout: a fern teacher checkpoint becomes a
+    poses_bounds.npy + images/ dataset that the standard LLFF loader, the
+    train CLI (NDC path), and eval --split val all consume — the CI-scale
+    version of the fern quality-parity loop (docs/QUALITY.md)."""
+    outdir = str(tmp_path / "fern_distilled")
+    run_cli(
+        "distill_dataset.py", "--config", "configs/fern_lowres.yml",
+        "--checkpoint", FERN_CKPT, "--savedir", outdir,
+        "--num-train", "7", "--num-val", "1", "--size", "63",
+    )
+    from nerf_tpu.data import load_llff_data
+
+    imgs, poses, bds, _, _ = load_llff_data(outdir, factor=1)
+    assert imgs.shape == (8, 47, 63, 3)
+    assert poses.shape == (8, 3, 5)
+    # bd_factor rescale is calibrated to a no-op (sc = 1/(bds.min()*0.75) = 1)
+    np.testing.assert_allclose(bds[0], [4.0 / 3.0, 8.0], rtol=1e-6)
+    assert os.path.exists(os.path.join(outdir, "holdout", "0000.png"))
+
+    logdir = str(tmp_path / "fern_logs")
+    run_cli(
+        "train_nerf.py", "--config", "configs/fern_lowres.yml",
+        "--overrides",
+        "dataset.basedir", outdir,
+        "dataset.downsample_factor", "1",
+        "experiment.logdir", logdir,
+        "experiment.train_iters", "10",
+        "experiment.save_every", "10",
+        "experiment.validate_every", "10",
+    )
+    ckpt = os.path.join(logdir, "fern-lowres", "checkpoint00010.ntc")
+    assert os.path.exists(ckpt)
+
+    rendir = str(tmp_path / "fern_renders")
+    run_cli(
+        "eval_nerf.py", "--config", "configs/fern_lowres.yml",
+        "--overrides",
+        "dataset.basedir", outdir,
+        "dataset.downsample_factor", "1",
+        "--checkpoint", ckpt, "--savedir", rendir, "--split", "val",
+    )
+    # llffhold=8 over 8 views -> exactly one holdout pose, index 0.
+    assert os.path.exists(os.path.join(rendir, "0000.png"))
+    assert not os.path.exists(os.path.join(rendir, "0001.png"))
+    assert imageio.imread(os.path.join(rendir, "0000.png")).shape == (47, 63, 3)
