@@ -112,3 +112,44 @@ def test_multiscene_loop_scans():
     assert metrics.loss.shape == (5, S)
     assert (np.asarray(state.step) == 5).all()
     assert np.isfinite(np.asarray(metrics.loss)).all()
+
+
+def test_multiscene_cli_checkpoint_export(tmp_path):
+    """train_multiscene.py --save-dir writes one eval-compatible native
+    checkpoint per scene (the sliced-vmap export the 6-scene quality sweep
+    in docs/QUALITY.md relies on)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    launcher = (
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy\n"
+        "sys.argv = sys.argv[1:]\n"
+        "runpy.run_path(sys.argv[0], run_name='__main__')\n"
+    )
+    savedir = str(tmp_path / "ckpts")
+    proc = subprocess.run(
+        [sys.executable, "-c", launcher,
+         os.path.join(repo, "train_multiscene.py"),
+         "--num-scenes", "2", "--iters", "4", "--print-every", "4",
+         "--size", "16", "--views", "2", "--batch", "8",
+         "--num-coarse", "4", "--num-fine", "4", "--n-xyz", "4",
+         "--save-dir", savedir],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    from nerf_tpu.engine.checkpoint import load_checkpoint
+
+    for s in range(2):
+        path = os.path.join(savedir, f"scene{s}", "checkpoint00004.ntc")
+        assert os.path.exists(path), proc.stdout[-2000:]
+        ckpt = load_checkpoint(path)
+        assert ckpt["step"] == 4
+        # per-scene slices: no leading scene axis on the param leaves
+        k = ckpt["params_coarse"]["layer1"]["kernel"]
+        assert np.asarray(k).ndim == 2
+        assert np.isfinite(ckpt["loss"]) and np.isfinite(ckpt["psnr"])

@@ -51,6 +51,27 @@ def main():
         "--blender-dirs", nargs="*", default=None,
         help="Optional blender scene dirs (one per scene) instead of synthetic.",
     )
+    parser.add_argument(
+        "--half-res", action=argparse.BooleanOptionalAction, default=True,
+        help="Half-resolution blender loading (--no-half-res for datasets "
+             "already at the target resolution, e.g. distilled sets).",
+    )
+    # Sampling/model protocol (defaults = the quick synthetic demo; the
+    # reference lowres-blender protocol is --num-coarse 64 --num-fine 64
+    # --n-xyz 10 — pretrained/*/config.yml, lego_lowres.yml).
+    parser.add_argument("--num-coarse", type=int, default=32)
+    parser.add_argument("--num-fine", type=int, default=32)
+    parser.add_argument("--n-xyz", type=int, default=6)
+    parser.add_argument("--n-dir", type=int, default=4)
+    parser.add_argument("--noise-std", type=float, default=0.2)
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default="float32")
+    parser.add_argument(
+        "--save-dir", default=None,
+        help="If set, export one native .ntc checkpoint per scene at the end "
+             "(eval_nerf.py-compatible; named after the scene dir, or "
+             "scene{i} for synthetic scenes).",
+    )
     args = parser.parse_args()
 
     S = args.num_scenes
@@ -59,7 +80,9 @@ def main():
         dirs = args.blender_dirs
         S = len(dirs)
         for d in dirs:
-            images, poses, _, hwf, i_split = load_blender_data(d, half_res=True)
+            images, poses, _, hwf, i_split = load_blender_data(
+                d, half_res=args.half_res
+            )
             images = composite_white_background(images)
             tr = i_split[0]
             stores.append(
@@ -85,11 +108,15 @@ def main():
     print(f"{S} scenes x {n_min:,} rays on {jax.default_backend()}")
 
     settings = RenderSettings(
-        num_coarse=32, num_fine=32, perturb=True, radiance_field_noise_std=0.2,
+        num_coarse=args.num_coarse, num_fine=args.num_fine, perturb=True,
+        radiance_field_noise_std=args.noise_std,
         white_background=True, near=2.0, far=6.0,
-        num_encoding_fn_xyz=6, num_encoding_fn_dir=4,
+        num_encoding_fn_xyz=args.n_xyz, num_encoding_fn_dir=args.n_dir,
+        compute_dtype=args.compute_dtype,
     )
-    model = FlexibleNeRFModel(num_encoding_fn_xyz=6, num_encoding_fn_dir=4)
+    model = FlexibleNeRFModel(
+        num_encoding_fn_xyz=args.n_xyz, num_encoding_fn_dir=args.n_dir
+    )
     opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
     state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), S)
     steps_per_call = max(1, min(args.print_every, args.iters))
@@ -122,6 +149,35 @@ def main():
         f"trained {S} scenes x {args.iters} iters in {dt:.1f}s = "
         f"{total_rays / dt:,.0f} aggregate rays/s"
     )
+
+    if args.save_dir:
+        # One eval_nerf.py-compatible native checkpoint per scene: slice the
+        # vmapped scene axis off every param leaf.
+        import os
+
+        from nerf_tpu.engine.checkpoint import save_checkpoint
+
+        names = (
+            [os.path.basename(os.path.normpath(d)) for d in args.blender_dirs]
+            if args.blender_dirs else [f"scene{s}" for s in range(S)]
+        )
+        for s, name in enumerate(names):
+            outdir = os.path.join(args.save_dir, name)
+            os.makedirs(outdir, exist_ok=True)
+            path = os.path.join(outdir, f"checkpoint{args.iters:05d}.ntc")
+            save_checkpoint(path, {
+                "step": args.iters,
+                "params_coarse": jax.tree.map(
+                    lambda x: x[s], state.params_coarse
+                ),
+                "params_fine": (
+                    jax.tree.map(lambda x: x[s], state.params_fine)
+                    if state.params_fine is not None else None
+                ),
+                "loss": float(np.asarray(metrics.loss[-1])[s]),
+                "psnr": float(psnrs[s]),
+            })
+            print(f"saved {path}")
 
 
 if __name__ == "__main__":
