@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -30,6 +31,7 @@ from nerf_tpu.data import (
     load_blender_data,
     make_synthetic_dataset,
 )
+from nerf_tpu.engine.checkpoint import save_checkpoint
 from nerf_tpu.engine.renderer import RenderSettings
 from nerf_tpu.engine.train import make_optimizer
 from nerf_tpu.models import FlexibleNeRFModel
@@ -71,6 +73,11 @@ def main():
         help="If set, export one native .ntc checkpoint per scene at the end "
              "(eval_nerf.py-compatible; named after the scene dir, or "
              "scene{i} for synthetic scenes).",
+    )
+    parser.add_argument(
+        "--save-every", type=int, default=0,
+        help="Also export per-scene checkpoints every N iters (long runs "
+             "survive interruption); 0 = only at the end.",
     )
     args = parser.parse_args()
 
@@ -129,6 +136,34 @@ def main():
             )
         return loops[k_steps]
 
+    names = (
+        [os.path.basename(os.path.normpath(d)) for d in args.blender_dirs]
+        if args.blender_dirs else [f"scene{s}" for s in range(S)]
+    )
+
+    def export_checkpoints(state, metrics, step):
+        # One eval_nerf.py-compatible native checkpoint per scene: slice the
+        # vmapped scene axis off every param leaf.
+        losses = np.asarray(metrics.loss[-1])
+        psnrs = np.asarray(metrics.psnr[-1])
+        for s, name in enumerate(names):
+            outdir = os.path.join(args.save_dir, name)
+            os.makedirs(outdir, exist_ok=True)
+            path = os.path.join(outdir, f"checkpoint{step:05d}.ntc")
+            save_checkpoint(path, {
+                "step": step,
+                "params_coarse": jax.tree.map(
+                    lambda x: x[s], state.params_coarse
+                ),
+                "params_fine": (
+                    jax.tree.map(lambda x: x[s], state.params_fine)
+                    if state.params_fine is not None else None
+                ),
+                "loss": float(losses[s]),
+                "psnr": float(psnrs[s]),
+            })
+        print(f"saved {S} checkpoints at iter {step} under {args.save_dir}")
+
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     i = 0
@@ -137,12 +172,17 @@ def main():
         key, k = jax.random.split(key)
         state, metrics = get_loop(k_steps)(state, ro, rd, tgt, k)
         psnrs = np.asarray(metrics.psnr[-1])  # last step of the call
-        i += k_steps
+        prev, i = i, i + k_steps
         print(
             f"iter {i - 1:5d} mean psnr {psnrs.mean():6.2f} "
             f"per-scene [{' '.join(f'{p:.1f}' for p in psnrs)}] "
             f"rays/s {S * args.batch * i / (time.time() - t0):,.0f}"
         )
+        if (
+            args.save_dir and args.save_every and i < args.iters
+            and i // args.save_every > prev // args.save_every
+        ):
+            export_checkpoints(state, metrics, i)
     dt = time.time() - t0
     total_rays = S * args.batch * args.iters
     print(
@@ -151,33 +191,7 @@ def main():
     )
 
     if args.save_dir:
-        # One eval_nerf.py-compatible native checkpoint per scene: slice the
-        # vmapped scene axis off every param leaf.
-        import os
-
-        from nerf_tpu.engine.checkpoint import save_checkpoint
-
-        names = (
-            [os.path.basename(os.path.normpath(d)) for d in args.blender_dirs]
-            if args.blender_dirs else [f"scene{s}" for s in range(S)]
-        )
-        for s, name in enumerate(names):
-            outdir = os.path.join(args.save_dir, name)
-            os.makedirs(outdir, exist_ok=True)
-            path = os.path.join(outdir, f"checkpoint{args.iters:05d}.ntc")
-            save_checkpoint(path, {
-                "step": args.iters,
-                "params_coarse": jax.tree.map(
-                    lambda x: x[s], state.params_coarse
-                ),
-                "params_fine": (
-                    jax.tree.map(lambda x: x[s], state.params_fine)
-                    if state.params_fine is not None else None
-                ),
-                "loss": float(np.asarray(metrics.loss[-1])[s]),
-                "psnr": float(psnrs[s]),
-            })
-            print(f"saved {path}")
+        export_checkpoints(state, metrics, args.iters)
 
 
 if __name__ == "__main__":
