@@ -134,10 +134,10 @@ def test_multiscene_cli_checkpoint_export(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-c", launcher,
          os.path.join(repo, "train_multiscene.py"),
-         "--num-scenes", "2", "--iters", "4", "--print-every", "4",
+         "--num-scenes", "2", "--iters", "4", "--print-every", "2",
          "--size", "16", "--views", "2", "--batch", "8",
          "--num-coarse", "4", "--num-fine", "4", "--n-xyz", "4",
-         "--save-dir", savedir],
+         "--save-dir", savedir, "--save-every", "2"],
         capture_output=True, text=True, timeout=600, cwd=repo,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -145,6 +145,10 @@ def test_multiscene_cli_checkpoint_export(tmp_path):
     from nerf_tpu.engine.checkpoint import load_checkpoint
 
     for s in range(2):
+        # --save-every 2 wrote an intermediate checkpoint mid-run
+        assert os.path.exists(
+            os.path.join(savedir, f"scene{s}", "checkpoint00002.ntc")
+        ), proc.stdout[-2000:]
         path = os.path.join(savedir, f"scene{s}", "checkpoint00004.ntc")
         assert os.path.exists(path), proc.stdout[-2000:]
         ckpt = load_checkpoint(path)
