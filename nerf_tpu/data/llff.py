@@ -15,6 +15,14 @@ Semantics preserved: poses_bounds.npy (N, 17) unpack, the rotation-axis swap
 recentering about the average pose, the 120-view / 2-rotation spiral render
 path with 90th-percentile radii (:310-339), and the nearest-to-average
 holdout view (:347-349).
+
+Provenance note: ``recenter_poses`` and ``spherify_poses`` reproduce the
+reference algorithm essentially verbatim (load_llff.py:185-275, itself
+vendored from yenchenlin/nerf-pytorch and the original LLFF code). This
+pose math is a fixed numerical recipe that downstream pose/NDC parity
+depends on bit-for-bit; a cosmetic rewrite would only rename variables.
+The I/O half of this module (``_minify``, ``_load_data``) is a genuine
+reimplementation.
 """
 
 from __future__ import annotations

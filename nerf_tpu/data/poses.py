@@ -5,6 +5,11 @@ Behavioral parity targets (reference: krrish94/nerf-pytorch):
     ``rotate_by_theta_along_y`` / ``pose_spherical`` -> nerf/load_blender.py:10-37
   - ``viewmatrix`` / ``poses_avg`` / ``render_path_spiral`` ->
     nerf/load_llff.py:143-183 (used by the LLFF loader)
+
+Provenance note: the three LLFF pose functions reproduce the reference's
+algorithm essentially verbatim (itself vendored from yenchenlin/Fyusion
+LLFF code) — a fixed numerical recipe that pose parity depends on
+bit-for-bit; renaming variables would not make it a new algorithm.
 """
 
 from __future__ import annotations
