@@ -69,6 +69,53 @@ def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
     return calls * steps_per_call * batch / dt
 
 
+def bench_multiscene(num_scenes: int = 6, batch: int = 1024,
+                     steps_per_call: int = 50, calls: int = 3) -> float:
+    """Aggregate training throughput with N scenes vmapped into one XLA
+    program (train_multiscene.py's hot path, BASELINE.json config 5) —
+    the batching the reference cannot express (one process per scene).
+    Protocol matches the 6-scene production sweep: lego-lowres sampling,
+    bfloat16 compute."""
+    from nerf_tpu.engine.renderer import RenderSettings
+    from nerf_tpu.engine.train import make_optimizer
+    from nerf_tpu.models import FlexibleNeRFModel
+    from nerf_tpu.parallel.multiscene import (
+        create_multiscene_state,
+        make_multiscene_train_loop,
+    )
+
+    settings = RenderSettings(
+        num_coarse=64, num_fine=64, perturb=True,
+        radiance_field_noise_std=0.2, white_background=True,
+        near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+        compute_dtype="bfloat16",
+    )
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
+    state = create_multiscene_state(
+        model, model, opt, jax.random.PRNGKey(0), num_scenes
+    )
+    loop = make_multiscene_train_loop(
+        model, model, settings, opt, batch, steps_per_call
+    )
+
+    n = 1 << 16
+    key = jax.random.PRNGKey(1)
+    ro = jax.random.uniform(key, (num_scenes, n, 3), minval=-1, maxval=1)
+    rd = ro - jnp.array([0, 0, 1.5])
+    tgt = jax.random.uniform(key, (num_scenes, n, 3))
+
+    state, m = loop(state, ro, rd, tgt, jax.random.PRNGKey(2))  # compile
+    float(m.loss[-1].sum())
+
+    t0 = time.perf_counter()
+    for c in range(calls):
+        state, m = loop(state, ro, rd, tgt, jax.random.PRNGKey(3 + c))
+    float(m.loss[-1].sum())
+    dt = time.perf_counter() - t0
+    return calls * steps_per_call * num_scenes * batch / dt
+
+
 def bench_render_pipelined(side: int = 800, frames: int = 8,
                            chunksize: int = 0) -> float:
     """Sustained render throughput with the eval CLI's 2-deep dispatch
@@ -183,6 +230,7 @@ def main():
     render_800 = bench_render(800)
     render_800_xla = bench_render(800, use_pallas=False)
     render_800_sustained = bench_render_pipelined(800)
+    multiscene_rps = bench_multiscene()
     result = {
         "metric": "train rays/sec/chip (lego-lowres protocol: 1024-ray batch, 64+64 samples, fwd+bwd+adam)",
         "value": round(train_rps, 1),
@@ -196,6 +244,7 @@ def main():
         "render_sec_per_frame_800px_sustained": round(
             800 * 800 / render_800_sustained, 3),
         "render_rays_per_sec_800px_xla": round(render_800_xla, 1),
+        "multiscene6_train_rays_per_sec_bf16": round(multiscene_rps, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

@@ -3,7 +3,12 @@
 from .blender import composite_white_background, load_blender_data
 from .llff import load_llff_data
 from .poses import pose_spherical, spherical_render_poses
-from .rays_store import build_ray_store, load_ray_cache, save_ray_cache
+from .rays_store import (
+    build_ray_store,
+    load_ray_cache,
+    save_ray_cache,
+    shuffle_ray_store,
+)
 from .synthetic import (
     SyntheticDataset,
     analytic_radiance_field,
@@ -21,6 +26,7 @@ __all__ = [
     "build_ray_store",
     "load_ray_cache",
     "save_ray_cache",
+    "shuffle_ray_store",
     "SyntheticDataset",
     "analytic_radiance_field",
     "flatten_rays",

@@ -69,6 +69,24 @@ def build_ray_store(
     )
 
 
+def shuffle_ray_store(
+    ray_origins: np.ndarray,
+    ray_directions: np.ndarray,
+    targets: np.ndarray,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One host-side permutation applied consistently to all three arrays.
+
+    Prerequisite for the ``sliced`` ray-sampling mode
+    (engine.train.sample_ray_batch): a contiguous window of a shuffled store
+    is an unbiased ray batch, whereas a window of the image-ordered store
+    built above is a correlated scanline. Done once at startup; the
+    permutation is seed-deterministic so resumed runs see the same order.
+    """
+    perm = np.random.default_rng(seed).permutation(ray_origins.shape[0])
+    return ray_origins[perm], ray_directions[perm], targets[perm]
+
+
 def save_ray_cache(
     path: str,
     ray_origins: np.ndarray,

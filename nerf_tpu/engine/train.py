@@ -209,6 +209,7 @@ def make_train_loop(
     steps_per_call: int,
     jit: bool = True,
     nan_guard: bool = False,
+    sample_mode: str = "gather",
 ):
     """Build a multi-step jitted training loop (the production hot path).
 
@@ -231,10 +232,11 @@ def make_train_loop(
             st = carry
             key = jax.random.fold_in(base_key, st.step)
             k_sample, k_step = jax.random.split(key)
-            idx = jax.random.randint(k_sample, (batch_size,), 0, ro_store.shape[0])
-            st, metrics = step_fn(
-                st, ro_store[idx], rd_store[idx], tgt_store[idx], k_step
+            ro, rd, tgt = sample_ray_batch(
+                k_sample, ro_store, rd_store, tgt_store, batch_size,
+                mode=sample_mode,
             )
+            st, metrics = step_fn(st, ro, rd, tgt, k_step)
             return st, metrics
 
         return jax.lax.scan(body, state, None, length=steps_per_call)
@@ -248,13 +250,34 @@ def sample_ray_batch(
     ray_directions: jnp.ndarray,
     targets: jnp.ndarray,
     batch_size: int,
+    mode: str = "gather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Uniformly sample ``batch_size`` rays from a flat device-resident ray store.
+    """Sample ``batch_size`` rays from a flat device-resident ray store.
 
     Replaces the reference's host-side image-then-pixels numpy selection
-    (train_nerf.py:210-226) with a single on-device gather. Sampling with
-    replacement over the full ray pool — the same distribution the reference
-    approximates, without the per-image correlation of its two-stage pick.
+    (train_nerf.py:210-226) with on-device selection inside the jitted step.
+
+    mode="gather": ``batch_size`` independent uniform row indices — exact
+    uniform-with-replacement via a random row-gather over the store.
+
+    mode="sliced": one uniform offset + a contiguous ``dynamic_slice`` —
+    a random window of the store. Each slot's marginal distribution is
+    exactly uniform; rays within a batch are distinct (sampling without
+    replacement within the window). REQUIRES the store to be pre-shuffled
+    (see ``data.rays_store.shuffle_ray_store``): on an image-ordered store
+    a window is a correlated scanline.
+
+    Measured on a v5e: the two are within ~1% even on a 16M-row store
+    (the 1024-row gather is negligible next to the MLP work —
+    docs/PARITY.md roofline notes), so gather stays the default for its
+    exact reference-matching distribution.
     """
+    if mode == "sliced":
+        n = ray_origins.shape[0]
+        off = jax.random.randint(key, (), 0, n - batch_size + 1)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, batch_size)  # noqa: E731
+        return sl(ray_origins), sl(ray_directions), sl(targets)
+    if mode != "gather":
+        raise ValueError(f"unknown ray-sampling mode {mode!r}")
     idx = jax.random.randint(key, (batch_size,), 0, ray_origins.shape[0])
     return ray_origins[idx], ray_directions[idx], targets[idx]

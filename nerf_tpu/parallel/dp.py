@@ -35,6 +35,7 @@ from ..engine.train import (
     all_finite,
     guard_non_finite,
     make_loss_fn,
+    sample_ray_batch,
 )
 from ..ops.math import mse2psnr
 from .mesh import DATA_AXIS
@@ -116,6 +117,7 @@ def make_parallel_train_loop(
     steps_per_call: int,
     axis: str = DATA_AXIS,
     nan_guard: bool = False,
+    sample_mode: str = "gather",
 ):
     """Sharded multi-step training loop: lax.scan of full DP steps inside
     shard_map, with per-device on-device ray sampling from the local shard.
@@ -142,10 +144,11 @@ def make_parallel_train_loop(
             st = carry
             key = jax.random.fold_in(jax.random.fold_in(base_key, st.step), shard_id)
             k_sample, k_step = jax.random.split(key)
-            idx = jax.random.randint(k_sample, (local_batch,), 0, ro_store.shape[0])
-            return shard_step(
-                st, ro_store[idx], rd_store[idx], tgt_store[idx], k_step
+            ro, rd, tgt = sample_ray_batch(
+                k_sample, ro_store, rd_store, tgt_store, local_batch,
+                mode=sample_mode,
             )
+            return shard_step(st, ro, rd, tgt, k_step)
 
         return jax.lax.scan(body, state, None, length=steps_per_call)
 

@@ -4,8 +4,12 @@ BASELINE.json config 5: "train/render all 7 pretrained lowres scenes as one
 vmapped TPU workload". The reference can only run scenes as separate
 processes; here the scene axis becomes a leading batch dimension over
 parameters, optimizer state, and ray batches, and ONE jitted program steps
-every scene simultaneously — small 128-wide MLP matmuls from different scenes
-batch together and fill the MXU far better than a single scene can.
+every scene simultaneously. For small-MLP protocols the batched matmuls
+fill the MXU far better than a single scene can (3.3x aggregate on the
+32+32/6-enc demo); at the full 64+64/10-enc protocol single-scene matmuls
+already fill the MXU and the batched form runs at ~0.75x flat per-ray
+efficiency (measured — docs/PARITY.md roofline), so the win there is
+operational: one process, one compile, simultaneous checkpoints.
 
 Composes with data parallelism: vmap over scenes inside, shard_map over rays
 outside (not wired by default; single-chip multi-scene is already a large
@@ -91,6 +95,7 @@ def make_multiscene_train_loop(
     batch_size: int,
     steps_per_call: int,
     jit: bool = True,
+    sample_mode: str = "gather",
 ):
     """K-step scan of the vmapped multi-scene step with on-device per-scene
     ray sampling — one host dispatch per K steps x S scenes.
@@ -109,7 +114,8 @@ def make_multiscene_train_loop(
             key = jax.random.fold_in(base_key, step0)
             k_sample, k_step = jax.random.split(key)
             batch = sample_multiscene_batch(
-                k_sample, ro_store, rd_store, tgt_store, batch_size
+                k_sample, ro_store, rd_store, tgt_store, batch_size,
+                mode=sample_mode,
             )
             return step_fn(st, *batch, k_step)
 
@@ -124,9 +130,29 @@ def sample_multiscene_batch(
     ray_directions: jnp.ndarray,  # (S, N, 3)
     targets: jnp.ndarray,         # (S, N, 3)
     batch_size: int,
+    mode: str = "gather",
 ):
-    """Per-scene independent uniform ray batches, one gather per scene."""
+    """Per-scene independent ray batches.
+
+    mode="gather": one uniform row-gather per scene (exact
+    with-replacement). mode="sliced": one uniform offset + contiguous
+    dynamic_slice per scene — the TPU-fast path; requires pre-shuffled
+    stores (data.rays_store.shuffle_ray_store). See
+    engine.train.sample_ray_batch for the trade-off.
+    """
     num_scenes, n = ray_origins.shape[:2]
+    if mode == "sliced":
+        off = jax.random.randint(key, (num_scenes,), 0, n - batch_size + 1)
+        take = jax.vmap(
+            lambda a, o: jax.lax.dynamic_slice_in_dim(a, o, batch_size)
+        )
+        return (
+            take(ray_origins, off),
+            take(ray_directions, off),
+            take(targets, off),
+        )
+    if mode != "gather":
+        raise ValueError(f"unknown ray-sampling mode {mode!r}")
     idx = jax.random.randint(key, (num_scenes, batch_size), 0, n)
     take = jax.vmap(lambda a, i: a[i])
     return (

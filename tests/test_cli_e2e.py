@@ -304,3 +304,86 @@ def test_distill_llff_cli(tmp_path):
     assert os.path.exists(os.path.join(rendir, "0000.png"))
     assert not os.path.exists(os.path.join(rendir, "0001.png"))
     assert imageio.imread(os.path.join(rendir, "0000.png")).shape == (47, 63, 3)
+
+
+def test_multiscene_train_then_eval_cli(blender_scene, tmp_path):
+    """train_multiscene.py --blender-dirs ... --save-dir, then
+    eval_multiscene.py scores every scene's checkpoint against its dataset
+    in one process (shared compiled render fn)."""
+    dataroot = tmp_path / "data"
+    dataroot.mkdir()
+    (dataroot / "alpha").symlink_to(blender_scene)
+    (dataroot / "beta").symlink_to(blender_scene)
+    ckroot = str(tmp_path / "ckpts")
+    run_cli(
+        "train_multiscene.py",
+        "--blender-dirs", str(dataroot / "alpha"), str(dataroot / "beta"),
+        "--no-half-res", "--iters", "20", "--print-every", "10",
+        "--batch", "64", "--num-coarse", "8", "--num-fine", "8",
+        "--n-xyz", "4", "--n-dir", "2", "--save-dir", ckroot,
+    )
+    cfg = f"""
+dataset:
+  type: blender
+  basedir: ''
+  half_res: False
+  no_ndc: True
+  near: 2.0
+  far: 6.0
+models:
+  coarse:
+    type: FlexibleNeRFModel
+    num_layers: 4
+    hidden_size: 128
+    skip_connect_every: 4
+    num_encoding_fn_xyz: 4
+    num_encoding_fn_dir: 2
+    use_viewdirs: True
+  fine:
+    type: FlexibleNeRFModel
+    num_layers: 4
+    hidden_size: 128
+    skip_connect_every: 4
+    num_encoding_fn_xyz: 4
+    num_encoding_fn_dir: 2
+    use_viewdirs: True
+nerf:
+  use_viewdirs: True
+  validation:
+    chunksize: 1024
+    perturb: False
+    num_coarse: 8
+    num_fine: 8
+    white_background: True
+    radiance_field_noise_std: 0.0
+    lindisp: False
+"""
+    cfg_path = tmp_path / "ms_eval.yml"
+    cfg_path.write_text(cfg)
+    rendir = str(tmp_path / "renders")
+    out = run_cli(
+        "eval_multiscene.py", "--config", str(cfg_path),
+        "--ckpt-root", ckroot, "--data-root", str(dataroot),
+        "--split", "val", "--renderer", "xla", "--savedir", rendir,
+    )
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert set(summary["scenes"]) == {"alpha", "beta"}
+    for scene, r in summary["scenes"].items():
+        assert r["step"] == 20
+        assert r["num_views"] == 2
+        assert np.isfinite(r["psnr_mean"]) and r["psnr_mean"] > 5.0
+        assert 0.0 <= r["ssim_mean"] <= 1.0
+    img = imageio.imread(os.path.join(rendir, "alpha", "val_000.png"))
+    assert img.shape == (25, 25, 3)
+
+
+def test_latest_checkpoint_numeric_order(tmp_path):
+    """checkpoint200000 must outrank checkpoint25000 (numeric, not lexical) —
+    eval_multiscene/train_nerf resume both depend on this."""
+    from nerf_tpu.engine.checkpoint import latest_checkpoint
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    for s in (25000, 200000, 50000):
+        (d / f"checkpoint{s:05d}.ntc").touch()
+    assert latest_checkpoint(str(d)).endswith("checkpoint200000.ntc")

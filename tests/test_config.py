@@ -276,6 +276,7 @@ def test_no_dead_config_keys():
             f"nerf.{mode}.compute_dtype",
         }
     consumed.add("nerf.train.num_random_rays")
+    consumed.add("nerf.train.ray_sampling")  # -> train_nerf.py sample_mode
 
     def leaves(node, prefix=""):
         out = set()

@@ -97,6 +97,30 @@ def test_sample_multiscene_batch():
     assert np.asarray(b_ro)[0].max() < N * 3
 
 
+def test_sample_multiscene_batch_sliced():
+    S, N, B = 2, 50, 8
+    ro = jnp.arange(S * N * 3, dtype=jnp.float32).reshape(S, N, 3)
+    rd, t = ro + 1, ro + 2
+    b_ro, b_rd, b_t = sample_multiscene_batch(
+        jax.random.PRNGKey(0), ro, rd, t, B, mode="sliced"
+    )
+    assert b_ro.shape == (S, B, 3)
+    np.testing.assert_array_equal(np.asarray(b_rd), np.asarray(b_ro) + 1)
+    np.testing.assert_array_equal(np.asarray(b_t), np.asarray(b_ro) + 2)
+    for s in range(S):
+        rows = np.asarray(b_ro)[s, :, 0]
+        # contiguous window, within the scene's own pool
+        np.testing.assert_allclose(np.diff(rows), 3.0)
+        assert rows.min() >= s * N * 3 and rows.max() < (s + 1) * N * 3
+    # per-scene offsets are independent (different with overwhelming prob.)
+    offs = [
+        np.asarray(sample_multiscene_batch(
+            jax.random.PRNGKey(k), ro, rd, t, B, mode="sliced"
+        )[0])[:, 0, 0] for k in range(8)
+    ]
+    assert any(o[0] != o[1] for o in offs)
+
+
 def test_multiscene_loop_scans():
     from nerf_tpu.parallel.multiscene import make_multiscene_train_loop
 

@@ -4,6 +4,7 @@ end-to-end convergence run on the synthetic scene (tiny-NeRF analog)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_tpu.data.synthetic import flatten_rays, make_synthetic_dataset
 from nerf_tpu.engine.renderer import RenderSettings
@@ -11,6 +12,7 @@ from nerf_tpu.engine.train import (
     create_train_state,
     exponential_lr_schedule,
     make_optimizer,
+    make_train_loop,
     make_train_step,
     sample_ray_batch,
 )
@@ -106,3 +108,83 @@ def test_end_to_end_convergence_on_synthetic_scene():
     final_psnr = float(metrics.psnr)
     assert final_psnr > first_psnr + 10.0, (first_psnr, final_psnr)
     assert final_psnr > 25.0, final_psnr
+
+
+def test_sample_ray_batch_sliced():
+    """Sliced mode: a contiguous window of the store, aligned across the
+    three arrays, deterministic in the key, uniform marginals."""
+    ro = jnp.arange(300.0).reshape(100, 3)
+    rd = ro + 1
+    t = ro + 2
+    a = sample_ray_batch(jax.random.PRNGKey(7), ro, rd, t, 16, mode="sliced")
+    b = sample_ray_batch(jax.random.PRNGKey(7), ro, rd, t, 16, mode="sliced")
+    assert a[0].shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(a[0]) + 1)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(a[0]) + 2)
+    # contiguity: rows are consecutive store rows
+    rows = np.asarray(a[0])[:, 0] / 3.0
+    np.testing.assert_allclose(np.diff(rows), 1.0)
+    # every slot's marginal is uniform enough to cover the whole store
+    firsts = [
+        float(
+            sample_ray_batch(
+                jax.random.PRNGKey(i), ro, rd, t, 16, mode="sliced"
+            )[0][0, 0]
+        )
+        for i in range(64)
+    ]
+    assert min(firsts) < 30.0 and max(firsts) > 220.0
+
+    with pytest.raises(ValueError):
+        sample_ray_batch(jax.random.PRNGKey(0), ro, rd, t, 16, mode="bogus")
+
+
+def test_shuffle_ray_store_alignment():
+    from nerf_tpu.data import shuffle_ray_store
+
+    ro = np.arange(300.0, dtype=np.float32).reshape(100, 3)
+    rd = ro + 1
+    t = ro + 2
+    sro, srd, st = shuffle_ray_store(ro, rd, t, seed=3)
+    assert not np.array_equal(sro, ro)  # actually permuted
+    np.testing.assert_array_equal(np.sort(sro[:, 0]), ro[:, 0])  # same rows
+    np.testing.assert_array_equal(srd, sro + 1)  # triplets stay aligned
+    np.testing.assert_array_equal(st, sro + 2)
+    sro2, _, _ = shuffle_ray_store(ro, rd, t, seed=3)
+    np.testing.assert_array_equal(sro, sro2)  # seed-deterministic
+
+
+def test_train_loop_sliced_sampling_converges():
+    """The K-step scan loop with sliced sampling trains as well as gather
+    on a (shuffled) synthetic store."""
+    from nerf_tpu.data import shuffle_ray_store
+
+    dataset = make_synthetic_dataset(num_views=6, height=24, width=24)
+    ro, rd, targets = flatten_rays(dataset)
+    ro, rd, targets = map(
+        jnp.asarray, shuffle_ray_store(np.asarray(ro), np.asarray(rd),
+                                       np.asarray(targets), seed=1)
+    )
+
+    settings = RenderSettings(
+        num_coarse=32, num_fine=0, perturb=True,
+        white_background=True, near=dataset.near, far=dataset.far,
+        num_encoding_fn_xyz=6, num_encoding_fn_dir=4,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=3, hidden_size=64, num_encoding_fn_xyz=6,
+        num_encoding_fn_dir=4,
+    )
+    opt = make_optimizer("adam", 5e-3)
+    state = create_train_state(model, None, opt, jax.random.PRNGKey(0))
+    loop = make_train_loop(
+        model, None, settings, opt, batch_size=512, steps_per_call=100,
+        sample_mode="sliced",
+    )
+    psnrs = []
+    for c in range(4):
+        state, metrics = loop(state, ro, rd, targets, jax.random.PRNGKey(c))
+        psnrs.append(float(np.asarray(metrics.psnr)[-1]))
+    assert psnrs[-1] > psnrs[0] + 8.0, psnrs
+    assert psnrs[-1] > 22.0, psnrs

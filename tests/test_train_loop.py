@@ -93,3 +93,21 @@ def test_parallel_loop_batch_divisibility():
         make_parallel_train_loop(
             model, model, settings, opt, mesh, batch_size=30, steps_per_call=2
         )
+
+def test_parallel_train_loop_sliced_sampling():
+    """DP loop with sliced sampling: per-shard contiguous windows of the
+    local store shard; runs, steps, stays finite on the virtual mesh."""
+    settings, model, opt = _setup()
+    mesh = make_mesh()
+    state = replicate_tree(
+        mesh, create_train_state(model, model, opt, jax.random.PRNGKey(0))
+    )
+    loop = make_parallel_train_loop(
+        model, model, settings, opt, mesh, batch_size=64, steps_per_call=6,
+        sample_mode="sliced",
+    )
+    ro, rd, tgt = _stores(n=512)
+    ro, rd, tgt = shard_batch(mesh, ro, rd, tgt)
+    state, metrics = loop(state, ro, rd, tgt, jax.random.PRNGKey(1))
+    assert int(state.step) == 6
+    assert np.isfinite(np.asarray(metrics.loss)).all()

@@ -4,9 +4,11 @@
 BASELINE.json config 5 ("multi-scene batch: train all 7 lowres scenes as one
 vmapped TPU workload"). The reference can only run scenes as separate
 processes; here the scene axis is a vmapped batch dimension over parameters,
-optimizer state, and ray batches — small per-scene MLP matmuls batch together
-and fill the MXU far better than any single scene can, so N scenes cost far
-less than N single-scene runs.
+optimizer state, and ray batches. With small MLPs (the synthetic demo
+protocol) batching fills the MXU far better than any single scene can
+(3.3x aggregate); at the full lowres-blender protocol the win is
+operational — one process, one compile, simultaneous checkpoints at
+aggregate-throughput rough-parity (docs/PARITY.md roofline notes).
 
 Scenes default to N distinct procedural synthetic scenes (no downloads);
 pass --blender-dirs to train real blender scenes instead.

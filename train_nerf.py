@@ -43,6 +43,7 @@ from nerf_tpu.data import (
     load_llff_data,
     load_ray_cache,
     make_synthetic_dataset,
+    shuffle_ray_store,
 )
 from nerf_tpu.engine.checkpoint import (
     latest_checkpoint,
@@ -217,10 +218,22 @@ def main():
         )
         val_images = data["images"][data["i_val"][:1]]
         val_poses = data["poses"][data["i_val"][:1]]
+    ray_sampling = str(getattr(cfg.nerf.train, "ray_sampling", "gather"))
+    if ray_sampling == "sliced":
+        # Sliced sampling reads contiguous windows — valid only on a
+        # shuffled store (stores are built image-ordered). One host-side
+        # permutation, seeded for resume determinism.
+        ro_store, rd_store, target_store = shuffle_ray_store(
+            np.asarray(ro_store), np.asarray(rd_store),
+            np.asarray(target_store), seed=int(cfg.experiment.randomseed),
+        )
     ro_store, rd_store, target_store = (
         jnp.asarray(ro_store), jnp.asarray(rd_store), jnp.asarray(target_store)
     )
-    print(f"ray store: {ro_store.shape[0]:,} rays on {jax.default_backend()}")
+    print(
+        f"ray store: {ro_store.shape[0]:,} rays on {jax.default_backend()} "
+        f"({ray_sampling} sampling)"
+    )
 
     settings = render_settings_from_config(cfg, "train", hwf=(h, w, focal))
     val_settings = render_settings_from_config(cfg, "validation", hwf=(h, w, focal))
@@ -331,11 +344,13 @@ def main():
                 loop_cache[k_steps] = make_parallel_train_loop(
                     model_coarse, model_fine, settings, optimizer, mesh,
                     batch_size, k_steps, nan_guard=nan_guard,
+                    sample_mode=ray_sampling,
                 )
             else:
                 loop_cache[k_steps] = make_train_loop(
                     model_coarse, model_fine, settings, optimizer,
                     batch_size, k_steps, nan_guard=nan_guard,
+                    sample_mode=ray_sampling,
                 )
         return loop_cache[k_steps]
 
