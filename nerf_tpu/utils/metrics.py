@@ -11,10 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
-
-from ..ops.math import img2mse, mse2psnr
 
 
 class ScalarMetric:
@@ -43,9 +40,21 @@ class ScalarMetric:
 
 
 def psnr(img_src, img_tgt, max_val: float = 1.0) -> float:
-    """Peak signal-to-noise ratio between two images in [0, max_val]."""
-    mse = img2mse(jnp.asarray(img_src) / max_val, jnp.asarray(img_tgt) / max_val)
-    return float(mse2psnr(mse))
+    """Peak signal-to-noise ratio between two images in [0, max_val].
+
+    Pure numpy on purpose (same as ``ssim`` below): this is a host-side
+    metric over fetched images. Routing it through eager jnp would claim
+    the accelerator from CPU-only tools and pay one remote dispatch per
+    op per image (seconds per view over a remote-chip relay). Semantics
+    mirror ops.math.img2mse/mse2psnr exactly, including the reference's
+    1e-5 zero-MSE clamp (nerf/nerf_helpers.py:14-16).
+    """
+    a = np.asarray(img_src, np.float64) / max_val
+    b = np.asarray(img_tgt, np.float64) / max_val
+    mse = float(np.mean((a - b) ** 2))
+    if mse <= 0.0:
+        mse = 1e-5
+    return float(-10.0 * np.log10(mse))
 
 
 def ssim(
