@@ -65,9 +65,11 @@ def main():
     )
     parser.add_argument("--split", choices=["train", "val", "test"], default="val")
     parser.add_argument(
-        "--half-res", action=argparse.BooleanOptionalAction, default=False,
-        help="Load datasets at half resolution (distilled sets are already "
-             "at target resolution, so the default is off).",
+        "--half-res", action=argparse.BooleanOptionalAction, default=True,
+        help="Load datasets at half resolution. Default matches "
+             "train_multiscene.py so a default-flags train/eval pair sees "
+             "the same resolution; pass --no-half-res for datasets already "
+             "at target resolution (e.g. distilled sets).",
     )
     parser.add_argument(
         "--savedir", default="",
@@ -80,10 +82,15 @@ def main():
     args = parser.parse_args()
 
     cfg = load_config(args.config)
-    scenes = args.scenes or sorted(
-        d for d in os.listdir(args.ckpt_root)
-        if os.path.isdir(os.path.join(args.ckpt_root, d))
-    )
+    if args.scenes is not None:
+        scenes = args.scenes
+        if not scenes:
+            raise SystemExit("--scenes given but empty")
+    else:
+        scenes = sorted(
+            d for d in os.listdir(args.ckpt_root)
+            if os.path.isdir(os.path.join(args.ckpt_root, d))
+        )
     if not scenes:
         raise SystemExit(f"no scene dirs under {args.ckpt_root}")
 
@@ -99,9 +106,17 @@ def main():
         images, poses, _, hwf, i_split = load_blender_data(
             os.path.join(args.data_root, scene), half_res=args.half_res,
         )
-        images = composite_white_background(images)
+        # Composite RGBA ground truth onto white only when the renderer
+        # composites onto white too (cfg.nerf.validation.white_background,
+        # same gating as training) — otherwise PSNR compares against a
+        # background the model was never asked to produce. No-op for RGB
+        # datasets (e.g. distilled sets).
+        if bool(cfg.nerf.validation.white_background):
+            images = composite_white_background(images)
         idx = {"train": 0, "val": 1, "test": 2}[args.split]
         sel = i_split[idx]
+        if len(sel) == 0:
+            raise SystemExit(f"scene {scene!r} has no views in split {args.split!r}")
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
 
         if render_fn is None:

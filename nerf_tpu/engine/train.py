@@ -261,11 +261,14 @@ def sample_ray_batch(
     uniform-with-replacement via a random row-gather over the store.
 
     mode="sliced": one uniform offset + a contiguous ``dynamic_slice`` —
-    a random window of the store. Each slot's marginal distribution is
-    exactly uniform; rays within a batch are distinct (sampling without
-    replacement within the window). REQUIRES the store to be pre-shuffled
-    (see ``data.rays_store.shuffle_ray_store``): on an image-ordered store
-    a window is a correlated scanline.
+    a random window of the store. Rays within a batch are distinct
+    (without replacement within the window). Near-uniform, not exactly:
+    the offset is uniform over [0, n-B], so the B-1 rows nearest either
+    store edge are included less often (row 0 only when off==0) — a
+    negligible bias for production stores (n >> B) but real at tiny-store
+    scale; use gather where exactness matters. REQUIRES the store to be
+    pre-shuffled (see ``data.rays_store.shuffle_ray_store``): on an
+    image-ordered store a window is a correlated scanline.
 
     Measured on a v5e: the two are within ~1% even on a 16M-row store
     (the 1024-row gather is negligible next to the MLP work —

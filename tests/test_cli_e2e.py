@@ -363,7 +363,7 @@ nerf:
     rendir = str(tmp_path / "renders")
     out = run_cli(
         "eval_multiscene.py", "--config", str(cfg_path),
-        "--ckpt-root", ckroot, "--data-root", str(dataroot),
+        "--ckpt-root", ckroot, "--data-root", str(dataroot), "--no-half-res",
         "--split", "val", "--renderer", "xla", "--savedir", rendir,
     )
     summary = json.loads(out.strip().splitlines()[-1])
