@@ -132,8 +132,13 @@ def main():
                 model_coarse, model_fine, settings
             )
 
+            # Rays are generated inside the jit (only a 3x4 pose crosses
+            # the relay per view). Binds the first scene's h/w/focal —
+            # all scenes of a multi-scene run share one protocol, same as
+            # the shared RenderSettings above.
             @jax.jit
-            def render_fn(pc_, pf_, ro, rd):
+            def render_fn(pc_, pf_, pose34, _h=h, _w=w, _f=focal):
+                ro, rd = get_ray_bundle(_h, _w, _f, pose34)
                 maps = base_render(pc_, pf_, ro, rd)
                 rgb = maps.get("rgb_fine", maps["rgb_coarse"])
                 return jnp.clip(rgb, 0.0, 1.0)
@@ -173,10 +178,8 @@ def main():
         # fetch + PSNR/SSIM work overlaps device compute.
         pending = None
         for k, i in enumerate(sel):
-            ro, rd = get_ray_bundle(
-                h, w, focal, jnp.asarray(poses[i, :3, :4], jnp.float32)
-            )
-            out = render_fn(params_coarse, params_fine, ro, rd)
+            pose34 = jnp.asarray(poses[i, :3, :4], jnp.float32)
+            out = render_fn(params_coarse, params_fine, pose34)
             if pending is not None:
                 score(*pending)
             pending = (k, i, out)

@@ -185,8 +185,12 @@ def main():
     # per-frame host transfer drops 4x (f32 -> u8) — at 800px that is the
     # difference between the fetch hiding behind the next frame's compute and
     # it serializing after it (~150 ms/frame over the remote-chip relay).
+    # Ray generation lives INSIDE the jit: per view only a 3x4 pose crosses
+    # the relay instead of ~15 MB of eagerly-built ray bundles (each eager
+    # get_ray_bundle op is its own remote dispatch).
     @jax.jit
-    def render_image(pc_, pf_, ro, rd):
+    def render_image(pc_, pf_, pose34):
+        ro, rd = get_ray_bundle(h, w, focal, pose34)
         maps = dict(base_render(pc_, pf_, ro, rd))
         rgb = maps.get("rgb_fine", maps["rgb_coarse"])
         maps["rgb_u8"] = (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
@@ -218,8 +222,8 @@ def main():
     t_first = None
     pending = []
     for i, pose in enumerate(poses):
-        ro, rd = get_ray_bundle(h, w, focal, jnp.asarray(pose[:3, :4], jnp.float32))
-        pending.append((i, render_image(params_coarse, params_fine, ro, rd)))
+        pose34 = jnp.asarray(pose[:3, :4], jnp.float32)
+        pending.append((i, render_image(params_coarse, params_fine, pose34)))
         if len(pending) >= 2:
             j, maps = pending.pop(0)
             write_out(j, maps)

@@ -25,6 +25,25 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
+
+def _import_torch():
+    """Import torch AFTER the JAX backend is initialized.
+
+    Observed repeatedly on the remote (axon) TPU relay: processes that
+    import torch before their first JAX device operation see host<->device
+    transfers degraded ~1000x for the life of the process (a 120 KB fetch:
+    ~30 ms -> ~50 s), while jax-first processes in the same period are
+    fine. The relay also has independent flaky-claim episodes, so this is
+    a strong correlation rather than a proven mechanism — but initializing
+    the backend before a heavyweight thread-spawning library costs nothing
+    and removed the slowdown every time it was applied. See CLAUDE.md.
+    """
+    jax.devices()
+    import torch  # lazy: interop only
+
+    return torch
+
+
 Params = Dict[str, Any]
 
 
@@ -177,7 +196,7 @@ def reference_optimizer_state_dict(
     Adam state dict (fresh moments on resume) rather than ``{}``, which the
     reference's ``load_state_dict`` would crash on.
     """
-    import torch  # lazy: interop only
+    torch = _import_torch()
 
     def ordered(tree: Optional[Params], params: Optional[Params]) -> list:
         if tree is None or params is None:
@@ -235,7 +254,7 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     Returns a dict with ``step``, ``params_coarse``, ``params_fine`` (or None),
     ``loss``, ``psnr``, and any extra scalar keys present.
     """
-    import torch  # lazy: interop only
+    torch = _import_torch()
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     out: Dict[str, Any] = {
@@ -270,7 +289,7 @@ def export_reference_checkpoint(
     """Write a reference-schema ``.ckpt`` readable by the reference's eval_nerf.py
     AND resumable by its train_nerf.py (optimizer_state_dict carries our Adam
     moments when ``opt_state`` is given; otherwise a valid empty Adam state)."""
-    import torch  # lazy: interop only
+    torch = _import_torch()
 
     if optimizer_state_dict is None:
         optimizer_state_dict = reference_optimizer_state_dict(
