@@ -18,7 +18,15 @@ from __future__ import annotations
 
 import argparse
 
-from nerf_tpu.engine.checkpoint import (
+# Host-only tool: force the CPU backend BEFORE any backend init so the
+# torch-interop path (checkpoint._import_torch initializes the backend
+# before importing torch) never claims the single TPU chip — conversion
+# needs no accelerator and must work while a training run holds the chip.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from nerf_tpu.engine.checkpoint import (  # noqa: E402
     export_reference_checkpoint,
     load_checkpoint,
     load_reference_checkpoint,

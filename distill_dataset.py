@@ -49,8 +49,7 @@ import numpy as np
 from nerf_tpu.config import load_config, model_from_config, render_settings_from_config
 from nerf_tpu.data import pose_spherical
 from nerf_tpu.engine.checkpoint import load_checkpoint, load_reference_checkpoint
-from nerf_tpu.engine.renderer import make_image_render_fn
-from nerf_tpu.ops import get_ray_bundle
+from nerf_tpu.engine.renderer import make_pose_render_fn
 
 BLENDER_CAMERA_ANGLE_X = 0.6911112070083618  # the synthetic scenes' FOV
 BLENDER_RADIUS = 4.0311289
@@ -189,20 +188,12 @@ def main():
         compute_dtype=args.precision,
         use_pallas=(args.renderer == "pallas"),
     )
-    base_render = make_image_render_fn(model_coarse, model_fine, settings)
-
-    # Device-side uint8 cast (bit-identical to the host cast below — both
-    # truncate) + 2-deep dispatch pipeline, same as eval_nerf.py: the PNG
-    # bytes fetch behind the next view's compute instead of serializing
-    # after it (~4x less transfer, ~3x faster distillation end to end).
-    # Ray generation inside the jit: per view only a 3x4 pose crosses the
-    # relay instead of ~15 MB of eagerly-built ray bundles.
-    @jax.jit
-    def render_u8(pc_, pf_, pose34):
-        ro, rd = get_ray_bundle(h, w, focal, pose34)
-        maps = base_render(pc_, pf_, ro, rd)
-        rgb = maps.get("rgb_fine", maps["rgb_coarse"])
-        return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    # Pose -> uint8 teacher renderer (ray generation inside the jit,
+    # device-side uint8 cast — engine.renderer.make_pose_render_fn) +
+    # 2-deep dispatch pipeline so PNG-encode overlaps device compute.
+    render_u8 = make_pose_render_fn(
+        model_coarse, model_fine, settings, h, w, focal, output="u8"
+    )
 
     def render_views(poses, write_out):
         """Render each pose, calling write_out(i, uint8_image) one frame

@@ -4,10 +4,11 @@
 The eval counterpart of train_multiscene.py: given a root of per-scene
 checkpoints (as written by `train_multiscene.py --save-dir`) and a root of
 per-scene blender datasets, renders each scene's held-out split and reports
-per-scene PSNR/SSIM against the ground-truth images. All scenes share one
-jit-compiled render function (parameters are pytree arguments), so the
-~40 s TPU compile is paid once instead of once per scene — evaluating 6
-scenes costs barely more than evaluating 1. The reference
+per-scene PSNR/SSIM against the ground-truth images. Scenes with the same
+intrinsics share one jit-compiled render function (parameters are pytree
+arguments), so the ~40 s TPU compile is paid once per distinct (h, w,
+focal) — evaluating 6 like-protocol scenes costs barely more than
+evaluating 1. The reference
 (krrish94/nerf-pytorch) has no multi-scene tooling at all; its eval_nerf.py
 (:39-194) renders a single scene per process and computes no metrics.
 
@@ -36,8 +37,7 @@ from nerf_tpu.config import (
 )
 from nerf_tpu.data import composite_white_background, load_blender_data
 from nerf_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
-from nerf_tpu.engine.renderer import make_image_render_fn
-from nerf_tpu.ops import get_ray_bundle
+from nerf_tpu.engine.renderer import make_pose_render_fn
 from nerf_tpu.utils import psnr, ssim
 
 
@@ -99,7 +99,25 @@ def main():
         model_from_config(cfg.models.fine) if "fine" in cfg.models else None
     )
 
-    render_fn = None
+    # One compiled pose->image renderer per distinct (h, w, focal): scenes
+    # sharing intrinsics (the normal multi-scene case) share one compile;
+    # a scene with different intrinsics gets its own instead of silently
+    # rendering with another scene's camera.
+    render_cache = {}
+
+    def get_render_fn(h, w, focal):
+        key = (h, w, round(focal, 6))
+        if key not in render_cache:
+            settings = dataclasses.replace(
+                render_settings_from_config(cfg, "validation", hwf=(h, w, focal)),
+                compute_dtype=args.precision,
+                use_pallas=(args.renderer == "pallas"),
+            )
+            render_cache[key] = make_pose_render_fn(
+                model_coarse, model_fine, settings, h, w, focal, output="f32"
+            )
+        return render_cache[key]
+
     results = {}
     t0 = time.time()
     for scene in scenes:
@@ -118,30 +136,7 @@ def main():
         if len(sel) == 0:
             raise SystemExit(f"scene {scene!r} has no views in split {args.split!r}")
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
-
-        if render_fn is None:
-            settings = render_settings_from_config(
-                cfg, "validation", hwf=(h, w, focal)
-            )
-            settings = dataclasses.replace(
-                settings,
-                compute_dtype=args.precision,
-                use_pallas=(args.renderer == "pallas"),
-            )
-            base_render = make_image_render_fn(
-                model_coarse, model_fine, settings
-            )
-
-            # Rays are generated inside the jit (only a 3x4 pose crosses
-            # the relay per view). Binds the first scene's h/w/focal —
-            # all scenes of a multi-scene run share one protocol, same as
-            # the shared RenderSettings above.
-            @jax.jit
-            def render_fn(pc_, pf_, pose34, _h=h, _w=w, _f=focal):
-                ro, rd = get_ray_bundle(_h, _w, _f, pose34)
-                maps = base_render(pc_, pf_, ro, rd)
-                rgb = maps.get("rgb_fine", maps["rgb_coarse"])
-                return jnp.clip(rgb, 0.0, 1.0)
+        render_fn = get_render_fn(h, w, focal)
 
         ckpt_path = latest_checkpoint(os.path.join(args.ckpt_root, scene))
         if ckpt_path is None:

@@ -25,8 +25,7 @@ import numpy as np
 from nerf_tpu.config import load_config, model_from_config, render_settings_from_config
 from nerf_tpu.data import load_blender_data, load_llff_data, spherical_render_poses
 from nerf_tpu.engine.checkpoint import load_checkpoint, load_reference_checkpoint
-from nerf_tpu.engine.renderer import make_image_render_fn
-from nerf_tpu.ops import get_ray_bundle
+from nerf_tpu.engine.renderer import make_pose_render_fn
 
 
 def cast_to_image(img: np.ndarray) -> np.ndarray:
@@ -178,23 +177,12 @@ def main():
         compute_dtype=args.precision,
         use_pallas=(args.renderer == "pallas"),
     )
-    base_render = make_image_render_fn(model_coarse, model_fine, settings)
-
-    # Device-side uint8 cast of the displayed map: the saved PNG bytes are
-    # identical to host-casting (both truncate, cast_to_image above), but the
-    # per-frame host transfer drops 4x (f32 -> u8) — at 800px that is the
-    # difference between the fetch hiding behind the next frame's compute and
-    # it serializing after it (~150 ms/frame over the remote-chip relay).
-    # Ray generation lives INSIDE the jit: per view only a 3x4 pose crosses
-    # the relay instead of ~15 MB of eagerly-built ray bundles (each eager
-    # get_ray_bundle op is its own remote dispatch).
-    @jax.jit
-    def render_image(pc_, pf_, pose34):
-        ro, rd = get_ray_bundle(h, w, focal, pose34)
-        maps = dict(base_render(pc_, pf_, ro, rd))
-        rgb = maps.get("rgb_fine", maps["rgb_coarse"])
-        maps["rgb_u8"] = (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-        return maps
+    # Pose -> image renderer with the relay-transfer tricks (ray generation
+    # inside the jit, device-side uint8 display map) centralized in
+    # engine.renderer.make_pose_render_fn.
+    render_image = make_pose_render_fn(
+        model_coarse, model_fine, settings, h, w, focal, output="maps"
+    )
 
     os.makedirs(args.savedir, exist_ok=True)
     if args.save_disparity_image:

@@ -13,6 +13,7 @@ from .renderer import (
     RayRenderResult,
     RenderSettings,
     make_image_render_fn,
+    make_pose_render_fn,
     make_render_fn,
     render_rays,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "RayRenderResult",
     "RenderSettings",
     "make_image_render_fn",
+    "make_pose_render_fn",
     "make_render_fn",
     "render_rays",
     "StepMetrics",

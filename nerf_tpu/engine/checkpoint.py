@@ -37,6 +37,12 @@ def _import_torch():
     a strong correlation rather than a proven mechanism — but initializing
     the backend before a heavyweight thread-spawning library costs nothing
     and removed the slowdown every time it was applied. See CLAUDE.md.
+
+    Host-only callers (checkpoint conversion/inspection that never touches
+    the accelerator): force the CPU backend first —
+    ``jax.config.update("jax_platforms", "cpu")`` before any backend init —
+    or this touch claims the single TPU chip (convert_checkpoint.py does
+    exactly this).
     """
     jax.devices()
     import torch  # lazy: interop only

@@ -359,3 +359,49 @@ def make_image_render_fn(
         return result
 
     return jax.jit(render_image) if jit else render_image
+
+
+def make_pose_render_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    height: int,
+    width: int,
+    focal: float,
+    output: str = "maps",
+) -> Callable[..., Any]:
+    """Jitted pose -> image renderer with the relay-transfer tricks baked in.
+
+    The shared wrapper behind eval_nerf.py / distill_dataset.py /
+    eval_multiscene.py: ray generation happens INSIDE the jit (per view only
+    a (3, 4) pose crosses the host<->device boundary, not ~H*W*24 bytes of
+    eagerly-built ray bundles, each eager op its own remote dispatch), and
+    the displayed map can be cast to uint8 on device so the per-frame fetch
+    is 4x smaller and pipelines behind the next frame's compute.
+
+    Returns ``render(params_coarse, params_fine, pose34) -> out`` where
+    ``output`` selects:
+      - "maps": dict of all (H, W[,3]) maps plus ``rgb_u8`` (eval_nerf.py)
+      - "u8":   just the uint8 displayed image (distill_dataset.py)
+      - "f32":  the [0,1]-clipped float image (metric evaluation)
+    """
+    from ..ops.rays import get_ray_bundle
+
+    if output not in ("maps", "u8", "f32"):
+        raise ValueError(f"unknown output mode {output!r}")
+    base = make_image_render_fn(model_coarse, model_fine, settings, jit=False)
+
+    @jax.jit
+    def render(params_coarse, params_fine, pose34):
+        ro, rd = get_ray_bundle(height, width, focal, pose34)
+        maps = dict(base(params_coarse, params_fine, ro, rd))
+        rgb = maps.get("rgb_fine", maps["rgb_coarse"])
+        if output == "f32":
+            return jnp.clip(rgb, 0.0, 1.0)
+        u8 = (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        if output == "u8":
+            return u8
+        maps["rgb_u8"] = u8
+        return maps
+
+    return render
