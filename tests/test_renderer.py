@@ -125,3 +125,40 @@ def test_analytic_scene_renders_a_sphere():
     # white background at corners, object in the middle
     assert img[0, 0].mean() > 0.98
     assert img[12, 12].mean() < 0.95
+
+
+def test_make_pose_render_fn_output_modes():
+    """The shared pose->image wrapper (relay-transfer tricks) matches the
+    underlying image renderer in every output mode."""
+    from nerf_tpu.engine.renderer import make_pose_render_fn
+
+    settings, model, params = _tiny_setup()
+    h = w = 8
+    focal = 4.0
+    pose = jnp.asarray(pose_spherical(30.0, -30.0, 4.0), jnp.float32)[:3, :4]
+
+    base = make_image_render_fn(model, model, settings)
+    ro, rd = get_ray_bundle(h, w, focal, pose)
+    expected = base(params, params, ro, rd)
+    exp_rgb = np.clip(np.asarray(expected["rgb_fine"]), 0.0, 1.0)
+
+    f32 = make_pose_render_fn(model, model, settings, h, w, focal, output="f32")
+    got = np.asarray(f32(params, params, pose))
+    assert got.shape == (h, w, 3)
+    np.testing.assert_allclose(got, exp_rgb, atol=1e-6)
+
+    u8 = make_pose_render_fn(model, model, settings, h, w, focal, output="u8")
+    got_u8 = np.asarray(u8(params, params, pose))
+    assert got_u8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        got_u8, (exp_rgb * 255.0).astype(np.uint8)
+    )
+
+    maps = make_pose_render_fn(model, model, settings, h, w, focal, output="maps")(
+        params, params, pose
+    )
+    assert set(maps) >= {"rgb_fine", "rgb_coarse", "disp_fine", "rgb_u8"}
+    np.testing.assert_array_equal(np.asarray(maps["rgb_u8"]), got_u8)
+
+    with pytest.raises(ValueError):
+        make_pose_render_fn(model, model, settings, h, w, focal, output="png")
