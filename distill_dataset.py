@@ -46,9 +46,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerf_tpu.config import load_config, model_from_config, render_settings_from_config
+from nerf_tpu.config import load_config, render_settings_from_config
 from nerf_tpu.data import pose_spherical
-from nerf_tpu.engine.checkpoint import load_checkpoint, load_reference_checkpoint
+from nerf_tpu.engine.checkpoint import load_models_and_params
 from nerf_tpu.engine.renderer import make_pose_render_fn
 
 BLENDER_CAMERA_ANGLE_X = 0.6911112070083618  # the synthetic scenes' FOV
@@ -127,22 +127,9 @@ def write_llff_poses_bounds(savedir: str, poses_c2w: np.ndarray,
 
 def load_params(checkpoint: str, cfg):
     """Load (model_coarse, model_fine, params_coarse, params_fine) from a
-    native .ntc or reference .ckpt checkpoint (same logic as eval_nerf.py)."""
-    is_reference = checkpoint.endswith(".ckpt")
-    model_coarse = model_from_config(cfg.models.coarse,
-                                     reference_compat_shapes=is_reference)
-    model_fine = (
-        model_from_config(cfg.models.fine, reference_compat_shapes=is_reference)
-        if "fine" in cfg.models else None
-    )
-    ckpt = (load_reference_checkpoint(checkpoint) if is_reference
-            else load_checkpoint(checkpoint))
-    params_coarse = jax.tree.map(jnp.asarray, ckpt["params_coarse"])
-    params_fine = (
-        jax.tree.map(jnp.asarray, ckpt["params_fine"])
-        if ckpt.get("params_fine") is not None else None
-    )
-    return model_coarse, model_fine, params_coarse, params_fine
+    native .ntc or reference .ckpt checkpoint (shared with eval_nerf.py)."""
+    mc, mf, pc, pf, _ = load_models_and_params(checkpoint, cfg)
+    return mc, mf, pc, pf
 
 
 def main():
@@ -152,7 +139,13 @@ def main():
     parser.add_argument("--savedir", required=True)
     parser.add_argument("--num-train", type=int, default=100)
     parser.add_argument("--num-val", type=int, default=8)
-    parser.add_argument("--num-test", type=int, default=8)
+    parser.add_argument(
+        "--num-test", type=int, default=None,
+        help="Test views (blender layout only; default 8). LLFF has no "
+             "separate test split (val == test, reference "
+             "train_nerf.py:75-84) — passing this with an LLFF config is "
+             "an error.",
+    )
     parser.add_argument("--size", type=int, default=400,
                         help="Rendered image side (blender half-res = 400).")
     parser.add_argument("--seed", type=int, default=2026)
@@ -216,8 +209,23 @@ def main():
         # reference train_nerf.py:75-84). Every i % llffhold == 0 view is
         # held out and additionally copied to holdout/ in eval output order
         # for evaluate_metrics.py.
+        if args.num_test is not None:
+            raise SystemExit(
+                "--num-test is not defined for LLFF datasets (val == test, "
+                "reference train_nerf.py:75-84); use --num-val"
+            )
         llffhold = int(getattr(cfg.dataset, "llffhold", 8))
         total = args.num_train + args.num_val
+        nv_actual = len(range(0, total, llffhold))
+        if nv_actual != args.num_val:
+            # The holdout split is defined by the training-protocol llffhold
+            # stride over the whole set, NOT by --num-val directly; choose
+            # num_train/num_val so total/llffhold == num_val for an exact
+            # match (e.g. 56+8 with llffhold 8).
+            print(
+                f"note: llffhold={llffhold} over {total} views holds out "
+                f"{nv_actual} views, not --num-val={args.num_val}"
+            )
         poses = forward_facing_poses(rng, total)
         imgdir = os.path.join(args.savedir, "images")
         holddir = os.path.join(args.savedir, "holdout")
@@ -248,7 +256,9 @@ def main():
     splits = {
         "train": random_hemisphere_poses(rng, args.num_train),
         "val": random_hemisphere_poses(rng, args.num_val),
-        "test": random_hemisphere_poses(rng, args.num_test),
+        "test": random_hemisphere_poses(
+            rng, 8 if args.num_test is None else args.num_test
+        ),
     }
 
     t0 = time.time()

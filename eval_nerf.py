@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerf_tpu.config import load_config, model_from_config, render_settings_from_config
+from nerf_tpu.config import load_config, render_settings_from_config
 from nerf_tpu.data import load_blender_data, load_llff_data, spherical_render_poses
-from nerf_tpu.engine.checkpoint import load_checkpoint, load_reference_checkpoint
+from nerf_tpu.engine.checkpoint import load_models_and_params
 from nerf_tpu.engine.renderer import make_pose_render_fn
 
 
@@ -100,6 +100,14 @@ def main():
                 render_poses = all_poses[i_split[idx]]
             h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
         else:
+            if args.split != "render":
+                # A dataset split without a dataset would silently become
+                # the 40-pose orbit and poison downstream metric runs.
+                raise SystemExit(
+                    f"--split {args.split} needs an on-disk dataset, but "
+                    f"dataset.basedir={cfg.dataset.basedir!r} is not a "
+                    "directory"
+                )
             h = int(getattr(cfg.dataset, "height", 400))
             w = int(getattr(cfg.dataset, "width", 400))
             focal = float(
@@ -126,6 +134,12 @@ def main():
                 sel = i_test
             render_poses = poses[sel, :3, :4]
     elif cfg.dataset.type == "synthetic":
+        if args.split != "render":
+            raise SystemExit(
+                "--split train/val/test is not defined for the procedural "
+                "synthetic dataset (it has no on-disk splits); use the "
+                "default --split render"
+            )
         # Procedural scene: standard spherical orbit at the training FOV.
         h = w = int(getattr(cfg.dataset, "image_size", 64))
         focal = 0.5 * w / np.tan(0.5 * 0.6911112070083618)
@@ -133,38 +147,16 @@ def main():
     else:
         raise ValueError(f"Unsupported dataset type {cfg.dataset.type!r} for eval")
 
-    # Reference-format checkpoints hold default-shaped (4x128) models
-    # (SURVEY.md §5 quirk 1); native checkpoints match the config.
-    is_reference_ckpt = args.checkpoint.endswith(".ckpt")
-    model_coarse = model_from_config(
-        cfg.models.coarse, reference_compat_shapes=is_reference_ckpt
+    # Shared loader (engine.checkpoint): reference-format checkpoints get
+    # default-shaped (4x128) models (SURVEY.md §5 quirk 1); native
+    # checkpoints match the config.
+    model_coarse, model_fine, params_coarse, params_fine, ckpt = (
+        load_models_and_params(args.checkpoint, cfg)
     )
-    model_fine = (
-        model_from_config(cfg.models.fine, reference_compat_shapes=is_reference_ckpt)
-        if "fine" in cfg.models
-        else None
-    )
-
-    if is_reference_ckpt:
-        ckpt = load_reference_checkpoint(args.checkpoint)
-        params_coarse = jax.tree.map(jnp.asarray, ckpt["params_coarse"])
-        params_fine = (
-            jax.tree.map(jnp.asarray, ckpt["params_fine"])
-            if ckpt["params_fine"] is not None
-            else None
-        )
+    if args.checkpoint.endswith(".ckpt") and "height" in ckpt:
         # Optional hwf override keys (reference eval_nerf.py:138-143).
-        if "height" in ckpt:
-            h, w = int(ckpt["height"]), int(ckpt["width"])
-            focal = float(ckpt["focal_length"])
-    else:
-        ckpt = load_checkpoint(args.checkpoint)
-        params_coarse = jax.tree.map(jnp.asarray, ckpt["params_coarse"])
-        params_fine = (
-            jax.tree.map(jnp.asarray, ckpt["params_fine"])
-            if ckpt.get("params_fine") is not None
-            else None
-        )
+        h, w = int(ckpt["height"]), int(ckpt["width"])
+        focal = float(ckpt["focal_length"])
 
     # Settings are built AFTER checkpoint loading: a reference checkpoint may
     # override h/w/focal (eval_nerf.py:138-143), and NDC projection bakes the

@@ -130,10 +130,8 @@ class CfgNode(dict):
     # naming the replacement.
 
     def register_deprecated_key(self, key: str) -> None:
-        deprecated = getattr(self, "__deprecated_keys__", None)
-        if deprecated is None:
-            object.__setattr__(self, "__deprecated_keys__", set())
-            deprecated = getattr(self, "__deprecated_keys__")
+        # __init__ always sets the registry, so it is never absent.
+        deprecated = getattr(self, "__deprecated_keys__")
         if key in deprecated:
             raise ValueError(f"key {key!r} is already registered as deprecated")
         deprecated.add(key)
@@ -141,10 +139,7 @@ class CfgNode(dict):
     def register_renamed_key(
         self, old_name: str, new_name: str, message: Optional[str] = None
     ) -> None:
-        renamed = getattr(self, "__renamed_keys__", None)
-        if renamed is None:
-            object.__setattr__(self, "__renamed_keys__", {})
-            renamed = getattr(self, "__renamed_keys__")
+        renamed = getattr(self, "__renamed_keys__")
         if old_name in renamed:
             raise ValueError(f"key {old_name!r} is already registered as renamed")
         renamed[old_name] = (new_name, message) if message else new_name

@@ -373,3 +373,41 @@ def latest_checkpoint(logdir: str, prefix: str = "checkpoint", suffix: str = ".n
             if step > best_step:
                 best, best_step = os.path.join(logdir, name), step
     return best
+
+
+def load_models_and_params(checkpoint_path: str, cfg):
+    """Shared CLI loader: build the configured models and load their weights.
+
+    Handles both native ``.ntc`` and reference ``.ckpt`` checkpoints; for
+    reference files the models are built with ``reference_compat_shapes``
+    (the reference never passed size hyperparameters through — SURVEY.md §5
+    quirk 1 — so every shipped checkpoint is a default-shaped 4x128 model
+    regardless of what its config claims). Used by eval_nerf.py and
+    distill_dataset.py; returns
+    ``(model_coarse, model_fine, params_coarse, params_fine, ckpt)`` with
+    params as device arrays and ``ckpt`` the raw checkpoint dict (callers
+    may read extras like the optional height/width/focal_length keys,
+    reference eval_nerf.py:138-143).
+    """
+    from ..config import model_from_config  # lazy: breaks the import cycle
+
+    is_reference = checkpoint_path.endswith(".ckpt")
+    model_coarse = model_from_config(
+        cfg.models.coarse, reference_compat_shapes=is_reference
+    )
+    model_fine = (
+        model_from_config(cfg.models.fine, reference_compat_shapes=is_reference)
+        if "fine" in cfg.models else None
+    )
+    ckpt = (
+        load_reference_checkpoint(checkpoint_path)
+        if is_reference else load_checkpoint(checkpoint_path)
+    )
+    import jax.numpy as jnp
+
+    params_coarse = jax.tree.map(jnp.asarray, ckpt["params_coarse"])
+    params_fine = (
+        jax.tree.map(jnp.asarray, ckpt["params_fine"])
+        if ckpt.get("params_fine") is not None else None
+    )
+    return model_coarse, model_fine, params_coarse, params_fine, ckpt

@@ -45,11 +45,13 @@ def maybe_initialize_distributed() -> bool:
     )
     if not wants_cluster:
         return False
-    try:
-        if jax.process_count() > 1:
-            return True  # already initialized upstream
-    except RuntimeError:
-        pass
+    # Probe the distributed client directly: jax.process_count() would
+    # itself initialize the XLA backend, after which
+    # jax.distributed.initialize() unconditionally raises.
+    from jax._src import distributed as _dist  # noqa: PLC0415
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # already initialized upstream
     kwargs = {}
     if coordinator:
         kwargs["coordinator_address"] = coordinator

@@ -176,3 +176,38 @@ def test_distributed_helpers_single_host():
     arr = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
     local = process_local_rows(arr, data_sharding(mesh))
     np.testing.assert_array_equal(local, arr)
+
+
+def test_distributed_initialize_single_process_cluster():
+    """maybe_initialize_distributed must actually reach
+    jax.distributed.initialize() BEFORE any backend init (regression: a
+    jax.process_count() probe used to initialize the backend first, making
+    initialize() raise unconditionally on every configured cluster)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from nerf_tpu.parallel import maybe_initialize_distributed, is_primary\n"
+        "assert maybe_initialize_distributed() is True\n"
+        "assert jax.process_count() == 1\n"
+        "assert is_primary() is True\n"
+        # idempotent: the client probe short-circuits the second call
+        "assert maybe_initialize_distributed() is True\n"
+        "print('DIST_OK')\n"
+    )
+    env = dict(os.environ)
+    env.update(
+        JAX_COORDINATOR_ADDRESS="localhost:29517",
+        JAX_NUM_PROCESSES="1",
+        JAX_PROCESS_ID="0",
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "DIST_OK" in proc.stdout

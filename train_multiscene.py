@@ -138,10 +138,15 @@ def main():
             )
         return loops[k_steps]
 
+    if args.iters < 1:
+        raise SystemExit("--iters must be >= 1")
     names = (
         [os.path.basename(os.path.normpath(d)) for d in args.blender_dirs]
         if args.blender_dirs else [f"scene{s}" for s in range(S)]
     )
+    if len(set(names)) != len(names):
+        # a/lego and b/lego would silently overwrite each other's exports
+        raise SystemExit(f"duplicate scene names in --blender-dirs: {names}")
 
     def export_checkpoints(state, metrics, step):
         # One eval_nerf.py-compatible native checkpoint per scene: slice the

@@ -396,9 +396,13 @@ def main():
             # robust when `every` is not a multiple of the chunk length.
             return done // every > prev_done // every
 
-        if primary and val_images is not None and (
+        if val_images is not None and (
             crossed(int(cfg.experiment.validate_every)) or done >= train_iters
         ):
+            # SPMD rule: EVERY process must enter computations over the
+            # (globally replicated) params — on a multi-host cluster a
+            # primary-only dispatch would deadlock waiting for peers. Only
+            # the file/console writes below are primary-gated.
             t_val = time.time()
             pose = jnp.asarray(np.asarray(val_poses[0])[:3, :4], jnp.float32)
             v_ro, v_rd = get_ray_bundle(h, w, focal, pose)
@@ -413,24 +417,25 @@ def main():
                 fine_loss = img2mse(maps["rgb_fine"], target)
                 loss = coarse_loss + fine_loss
             psnr_v = float(mse2psnr(loss))
-            writer.scalars(
-                {
-                    "validation/loss": float(loss),
-                    "validation/coarse_loss": float(coarse_loss),
-                    "validation/fine_loss": float(fine_loss),
-                    "validation/psnr": psnr_v,
-                },
-                i_end,
-            )
-            writer.image(
-                "validation/rgb_fine" if "rgb_fine" in maps else "validation/rgb_coarse",
-                np.asarray(maps.get("rgb_fine", maps["rgb_coarse"])),
-                i_end,
-            )
-            print(
-                f"[VAL] iter {i_end} loss {float(loss):.6f} psnr {psnr_v:.3f} "
-                f"({time.time() - t_val:.2f}s)"
-            )
+            if primary:
+                writer.scalars(
+                    {
+                        "validation/loss": float(loss),
+                        "validation/coarse_loss": float(coarse_loss),
+                        "validation/fine_loss": float(fine_loss),
+                        "validation/psnr": psnr_v,
+                    },
+                    i_end,
+                )
+                writer.image(
+                    "validation/rgb_fine" if "rgb_fine" in maps else "validation/rgb_coarse",
+                    np.asarray(maps.get("rgb_fine", maps["rgb_coarse"])),
+                    i_end,
+                )
+                print(
+                    f"[VAL] iter {i_end} loss {float(loss):.6f} "
+                    f"psnr {psnr_v:.3f} ({time.time() - t_val:.2f}s)"
+                )
 
         if primary and (
             crossed(int(cfg.experiment.save_every)) or done >= train_iters
