@@ -43,8 +43,13 @@ def _import_torch():
     ``jax.config.update("jax_platforms", "cpu")`` before any backend init —
     or this touch claims the single TPU chip (convert_checkpoint.py does
     exactly this).
+
+    A REAL device op is required: ``jax.devices()`` merely lists devices
+    (measured: torch imported after devices() alone still degraded the
+    process), while one tiny compute+fetch establishes the relay
+    connection, after which post-torch roundtrips stay at ~30 ms.
     """
-    jax.devices()
+    np.asarray(jax.numpy.zeros(8) + 0)
     import torch  # lazy: interop only
 
     return torch
