@@ -1,0 +1,73 @@
+"""REAL multi-process (DCN-analog) test: two CPU processes, one global mesh.
+
+The virtual 8-device tests elsewhere run in ONE process; this spawns TWO
+coordinated processes (gRPC coordinator on localhost, 4 virtual CPU devices
+each) and runs the full data-parallel pipeline — distributed init, global
+mesh over 8 devices spanning both processes, replicated state, sharded ray
+stores via jax.make_array_from_process_local_data, the K-step sharded scan
+loop, and a sharded image render — i.e. __graft_entry__.dryrun_multichip
+executed as a genuine 2-host job. This is the closest a single machine gets
+to proving the multi-host path (SURVEY.md §5 distributed-comm item).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import os
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+from nerf_tpu.parallel import maybe_initialize_distributed, is_primary
+
+assert maybe_initialize_distributed() is True
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+assert is_primary() == (jax.process_index() == 0)
+
+import __graft_entry__ as graft
+
+graft.dryrun_multichip(8)
+print(f"MULTIHOST_OK process={jax.process_index()}")
+"""
+
+
+def test_two_process_data_parallel_pipeline():
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _WORKER],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=REPO, env=env,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"stdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}"
+        assert "MULTIHOST_OK" in out
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
