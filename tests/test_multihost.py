@@ -71,3 +71,58 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+_TRAIN_WORKER = """
+import os
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+import runpy
+sys.argv = [
+    "train_nerf.py", "--config", "configs/synthetic_smoke.yml",
+    "--overrides", "experiment.train_iters", "20",
+    "experiment.validate_every", "10", "experiment.save_every", "20",
+    "experiment.print_every", "10", "experiment.logdir", sys.orig_argv[-1],
+]
+runpy.run_path("train_nerf.py", run_name="__main__")
+print(f"TRAIN_OK process={jax.process_index()}")
+"""
+
+
+def test_two_process_train_cli(tmp_path):
+    """train_nerf.py itself as a 2-process job: distributed init from env,
+    DP mesh over both processes' devices, SPMD validation (regression: a
+    primary-only validation dispatch over replicated params deadlocks
+    multi-host), and primary-gated checkpoint/log writes."""
+    logdir = str(tmp_path / "mh_logs")
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _TRAIN_WORKER, logdir],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=REPO, env=env,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"stdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}"
+        assert "TRAIN_OK" in out
+    # primary wrote exactly one checkpoint + validation happened on both
+    # (the [VAL] line prints only on primary; process 1 must still finish)
+    assert os.path.exists(
+        os.path.join(logdir, "synthetic-smoke", "checkpoint00020.ntc")
+    )
+    assert "[VAL]" in outs[0][0]
+    assert "[VAL]" not in outs[1][0]
