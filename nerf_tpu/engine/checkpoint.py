@@ -260,14 +260,25 @@ def reference_optimizer_state_dict(
 
 
 def load_reference_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a reference ``.ckpt`` (torch zip format) into numpy pytrees.
+    """Load a reference ``.ckpt`` (a ``torch.save`` file) into numpy pytrees.
 
     Returns a dict with ``step``, ``params_coarse``, ``params_fine`` (or None),
     ``loss``, ``psnr``, and any extra scalar keys present.
-    """
-    torch = _import_torch()
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    Uses the standalone torch-free reader (``engine.torch_reader`` —
+    bit-for-bit parity with ``torch.load`` pinned by
+    tests/test_torch_reader.py), so the read path neither depends on torch
+    nor trips the relay hazard ``_import_torch`` exists for. torch remains
+    a fallback for any exotic file the restricted unpickler refuses.
+    """
+    from .torch_reader import load_torch_file
+
+    try:
+        ckpt = load_torch_file(path)
+    except Exception:
+        torch = _import_torch()
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
     out: Dict[str, Any] = {
         "step": int(ckpt.get("iter", 0)),
         "params_coarse": convert_torch_state_dict(ckpt["model_coarse_state_dict"]),
