@@ -387,3 +387,39 @@ def test_latest_checkpoint_numeric_order(tmp_path):
     for s in (25000, 200000, 50000):
         (d / f"checkpoint{s:05d}.ntc").touch()
     assert latest_checkpoint(str(d)).endswith("checkpoint200000.ntc")
+
+
+LEGO_CKPT = "/root/reference/pretrained/lego-lowres/checkpoint199999.ckpt"
+
+
+@pytest.mark.skipif(not os.path.exists(LEGO_CKPT), reason="pretrained absent")
+def test_train_resumes_directly_from_reference_ckpt(tmp_path):
+    """--load-checkpoint accepts the reference's .ckpt format directly:
+    weights + step restore (through the torch-free reader), Adam starts
+    fresh, and training continues from iter 199999."""
+    data = str(tmp_path / "mini")
+    run_cli(
+        "distill_dataset.py", "--config", "configs/lego_lowres.yml",
+        "--checkpoint", LEGO_CKPT, "--savedir", data,
+        "--num-train", "2", "--num-val", "1", "--num-test", "1",
+        "--size", "25",
+    )
+    logdir = str(tmp_path / "logs")
+    out = run_cli(
+        "train_nerf.py", "--config", "configs/lego_lowres.yml",
+        "--overrides",
+        "dataset.basedir", data, "dataset.half_res", "False",
+        "experiment.train_iters", "200002",
+        "experiment.validate_every", "900000",
+        "experiment.save_every", "200002",
+        "experiment.print_every", "1",
+        "experiment.logdir", logdir,
+        "nerf.train.num_random_rays", "16",
+        "nerf.train.num_coarse", "4", "nerf.train.num_fine", "4",
+        "--load-checkpoint", LEGO_CKPT,
+    )
+    assert "resumed from" in out and "at step 199999" in out
+    assert "starting Adam fresh" in out
+    assert os.path.exists(
+        os.path.join(logdir, "lego-lowres", "checkpoint200002.ntc")
+    )

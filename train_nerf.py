@@ -260,7 +260,16 @@ def main():
 
     ckpt_path = args.load_checkpoint or latest_checkpoint(logdir)
     if ckpt_path and os.path.exists(ckpt_path):
-        restored = load_checkpoint(ckpt_path)
+        if ckpt_path.endswith(".ckpt"):
+            # Direct resume from a reference-format checkpoint (weights +
+            # step; Adam restarts fresh via the weights-only path below).
+            # NOTE: reference .ckpt files hold default-shaped 4x128 models
+            # (SURVEY §5 quirk 1) — the config's model shapes must match.
+            from nerf_tpu.engine.checkpoint import load_reference_checkpoint
+
+            restored = load_reference_checkpoint(ckpt_path)
+        else:
+            restored = load_checkpoint(ckpt_path)
         template = {
             "step": state.step,
             "params_coarse": state.params_coarse,
