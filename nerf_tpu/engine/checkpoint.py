@@ -275,7 +275,17 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
 
     try:
         ckpt = load_torch_file(path)
-    except Exception:
+    except Exception as e:
+        # Surface the reader's reason before falling back: a silent
+        # fallback would mask reader regressions (torch-ful installs) or
+        # turn the real error into "ModuleNotFoundError: torch"
+        # (torch-less installs).
+        import warnings
+
+        warnings.warn(
+            f"standalone torch reader failed on {path!r} ({e!r}); "
+            "falling back to torch.load"
+        )
         torch = _import_torch()
 
         ckpt = torch.load(path, map_location="cpu", weights_only=True)

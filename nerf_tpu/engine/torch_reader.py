@@ -100,6 +100,21 @@ class _LazyTensor:
             raise pickle.UnpicklingError(
                 f"storage {self.storage.key} was never filled"
             )
+        # Bounds-check offset/size/stride BEFORE as_strided: crafted or
+        # truncated metadata must raise, never read out of bounds.
+        if self.offset < 0 or any(s < 0 for s in self.size):
+            raise pickle.UnpicklingError("negative tensor offset/size")
+        if 0 in self.size:
+            return np.zeros(self.size, dtype=base.dtype)
+        last = self.offset + sum(
+            (n - 1) * abs(st) for n, st in zip(self.size, self.stride)
+        )
+        if last >= base.shape[0] or any(st < 0 for st in self.stride):
+            raise pickle.UnpicklingError(
+                f"tensor metadata exceeds storage bounds "
+                f"(offset {self.offset}, size {self.size}, "
+                f"stride {self.stride}, storage numel {base.shape[0]})"
+            )
         itemsize = base.dtype.itemsize
         out = np.lib.stride_tricks.as_strided(
             base[self.offset:],
@@ -147,10 +162,37 @@ class _Unpickler(pickle.Unpickler):
         if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
             raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
         storage_type, key, _location, numel = pid[1], pid[2], pid[3], pid[4]
+        if len(pid) > 5 and pid[5]:
+            # Legacy view_metadata (a tensor stored on a storage VIEW):
+            # silently resolving it against the root storage would load
+            # wrong weights — refuse so callers fall back to torch.load.
+            raise pickle.UnpicklingError(
+                "legacy storage views are not supported by the standalone "
+                "reader"
+            )
         key = str(key)
         if key not in self.storages:
             self.storages[key] = _Storage(storage_type.dtype, int(numel), key)
         return self.storages[key]
+
+
+class _HeaderUnpickler(pickle.Unpickler):
+    """For the legacy format's framing pickles (magic / protocol / system
+    info / storage-key list): plain data only — no globals, no persistent
+    IDs — so a crafted header cannot execute anything."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"torch_reader: global {module}.{name} not allowed in a "
+            "checkpoint header"
+        )
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError("persistent id not allowed in a header")
+
+
+def _load_header(f: BinaryIO) -> Any:
+    return _HeaderUnpickler(f, encoding="utf-8").load()
 
 
 def _materialize(obj: Any) -> Any:
@@ -167,13 +209,13 @@ def _materialize(obj: Any) -> Any:
 
 def _read_legacy(f: BinaryIO) -> Any:
     storages: Dict[str, _Storage] = {}
-    magic = pickle.load(f)
+    magic = _load_header(f)
     if magic != _LEGACY_MAGIC:
         raise pickle.UnpicklingError("not a legacy torch file (bad magic)")
-    pickle.load(f)  # protocol version
-    pickle.load(f)  # system info (little-endian assumed, as np '<' dtypes)
+    _load_header(f)  # protocol version
+    _load_header(f)  # system info (little-endian assumed, as np '<' dtypes)
     obj = _Unpickler(f, storages).load()
-    storage_keys = pickle.load(f)
+    storage_keys = _load_header(f)
     for key in storage_keys:
         storage = storages[str(key)]
         (numel,) = struct.unpack("<q", f.read(8))
@@ -182,6 +224,11 @@ def _read_legacy(f: BinaryIO) -> Any:
                 f"storage {key}: header numel {numel} != pickled {storage.numel}"
             )
         raw = f.read(numel * storage.dtype.itemsize)
+        if len(raw) != numel * storage.dtype.itemsize:
+            raise pickle.UnpicklingError(
+                f"storage {key}: file truncated "
+                f"({len(raw)} of {numel * storage.dtype.itemsize} bytes)"
+            )
         storage.array = np.frombuffer(raw, dtype=storage.dtype)
     return _materialize(obj)
 
@@ -194,6 +241,11 @@ def _read_zip(path: str) -> Any:
         obj = _Unpickler(io.BytesIO(z.read(pkl_name)), storages).load()
         for key, storage in storages.items():
             raw = z.read(f"{prefix}data/{key}")
+            if len(raw) != storage.numel * storage.dtype.itemsize:
+                raise pickle.UnpicklingError(
+                    f"storage {key}: archive holds {len(raw)} bytes, "
+                    f"pickle claims {storage.numel * storage.dtype.itemsize}"
+                )
             storage.array = np.frombuffer(raw, dtype=storage.dtype)
     return _materialize(obj)
 

@@ -56,10 +56,15 @@ def test_two_process_data_parallel_pipeline():
                 text=True, cwd=REPO, env=env,
             )
         )
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        outs.append((p.returncode, out, err))
+    try:
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # a deadlocked pair must not outlive the test
     for rc, out, err in outs:
         assert rc == 0, f"stdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}"
         assert "MULTIHOST_OK" in out
@@ -115,7 +120,12 @@ def test_two_process_train_cli(tmp_path):
                 text=True, cwd=REPO, env=env,
             )
         )
-    outs = [p.communicate(timeout=600) for p in procs]
+    try:
+        outs = [p.communicate(timeout=600) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"stdout:\n{out[-2000:]}\nstderr:\n{err[-3000:]}"
         assert "TRAIN_OK" in out

@@ -79,10 +79,57 @@ def test_reader_non_contiguous_tensor(tmp_path):
 
 
 def test_reader_refuses_arbitrary_code(tmp_path):
-    """Unlike torch.load(weights_only=False), the restricted unpickler
-    rejects non-whitelisted globals instead of executing them."""
-    path = str(tmp_path / "evil.ckpt")
+    """Unlike torch.load(weights_only=False), the restricted unpicklers
+    reject non-whitelisted globals WITHOUT executing them — in both the
+    header-pickle position and the object-pickle position."""
+    marker = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            import os as _os
+
+            return (_os.system, (f"touch {marker}",))
+
+    # (a) malicious FIRST pickle (the legacy header position)
+    path = str(tmp_path / "evil_header.ckpt")
     with open(path, "wb") as f:
-        pickle.dump({"x": eval}, f)  # pickles builtins.eval by reference
-    with pytest.raises((pickle.UnpicklingError, Exception)):
+        pickle.dump(Evil(), f)
+    with pytest.raises(pickle.UnpicklingError):
+        load_torch_file(path)
+    assert not marker.exists(), "header unpickler executed a payload"
+
+    # (b) valid framing, malicious object pickle
+    path2 = str(tmp_path / "evil_obj.ckpt")
+    with open(path2, "wb") as f:
+        pickle.dump(0x1950A86A20F9469CFC6C, f)
+        pickle.dump(1001, f)
+        pickle.dump({"protocol_version": 1001}, f)
+        pickle.dump(Evil(), f)
+    with pytest.raises(pickle.UnpicklingError):
+        load_torch_file(path2)
+    assert not marker.exists(), "object unpickler executed a payload"
+
+
+def test_reader_rejects_truncated_file(tmp_path):
+    """A legacy file cut mid-storage raises instead of returning a tensor
+    backed by out-of-bounds memory."""
+    import torch
+
+    src = PRETRAINED[0] if PRETRAINED else None
+    if src is None:
+        path_full = str(tmp_path / "full.ckpt")
+        torch.save(
+            {"w": torch.arange(64, dtype=torch.float32)}, path_full,
+            _use_new_zipfile_serialization=False,
+        )
+        src = path_full
+    import struct
+
+    blob = open(src, "rb").read()
+    path = str(tmp_path / "trunc.ckpt")
+    with open(path, "wb") as f:
+        f.write(blob[: len(blob) - max(64, len(blob) // 10)])
+    # Depending on where the cut lands: truncated-storage UnpicklingError,
+    # EOF inside a pickle, or a short struct read — never silent success.
+    with pytest.raises((pickle.UnpicklingError, EOFError, struct.error)):
         load_torch_file(path)

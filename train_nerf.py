@@ -237,9 +237,17 @@ def main():
 
     settings = render_settings_from_config(cfg, "train", hwf=(h, w, focal))
     val_settings = render_settings_from_config(cfg, "validation", hwf=(h, w, focal))
-    model_coarse = model_from_config(cfg.models.coarse)
+    # Resuming from a reference .ckpt: those checkpoints hold default-shaped
+    # 4x128 models regardless of what any config claims (SURVEY §5 quirk 1),
+    # so the models must be built reference-shaped or the restored params
+    # would crash/mis-train under config-claimed shapes.
+    reference_resume = args.load_checkpoint.endswith(".ckpt")
+    model_coarse = model_from_config(
+        cfg.models.coarse, reference_compat_shapes=reference_resume
+    )
     model_fine = (
-        model_from_config(cfg.models.fine) if "fine" in cfg.models else None
+        model_from_config(cfg.models.fine, reference_compat_shapes=reference_resume)
+        if "fine" in cfg.models else None
     )
     optimizer = optimizer_from_config(cfg)
 
@@ -261,10 +269,9 @@ def main():
     ckpt_path = args.load_checkpoint or latest_checkpoint(logdir)
     if ckpt_path and os.path.exists(ckpt_path):
         if ckpt_path.endswith(".ckpt"):
-            # Direct resume from a reference-format checkpoint (weights +
-            # step; Adam restarts fresh via the weights-only path below).
-            # NOTE: reference .ckpt files hold default-shaped 4x128 models
-            # (SURVEY §5 quirk 1) — the config's model shapes must match.
+            # Direct resume from a reference-format checkpoint: weights +
+            # step restore; Adam restarts fresh via the weights-only path
+            # below. The models were built reference_compat_shapes above.
             from nerf_tpu.engine.checkpoint import load_reference_checkpoint
 
             restored = load_reference_checkpoint(ckpt_path)
