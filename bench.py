@@ -252,4 +252,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - transient-infra path
+        # The remote TPU relay occasionally kills a run with a transient
+        # backend error (FAILED_PRECONDITION / ABORTED — CLAUDE.md hazards).
+        # A backend error poisons the whole process, so retry by re-exec:
+        # a fresh process gets a fresh chip claim. One retry only.
+        if "--retried" in sys.argv:
+            raise
+        print(f"bench attempt failed ({e!r}); retrying in a fresh process",
+              file=sys.stderr)
+        os.execv(sys.executable, [sys.executable, __file__, "--retried"])
