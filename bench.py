@@ -1,30 +1,62 @@
 #!/usr/bin/env python3
 """Perf benchmark: rays/sec/chip on the lego-lowres training protocol.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Prints a cumulative JSON line after EVERY completed stage (flushed), so the
+record survives any external timeout — the LAST line printed is always a
+complete, parseable result containing everything measured so far. Stage
+order puts the headline metrics first:
+
+  1. train f32            -> "value" / "vs_baseline"        (the metric)
+  2. train bf16           -> train_rays_per_sec_bf16 + TFLOP/s + MFU
+  3. numerics guard       -> pallas_vs_xla_psnr_db (Mosaic-regression gate)
+  4. sustained 800px render (production Pallas eval path)
+  -- headline complete; extras only while wall-clock budget remains --
+  5. 400px render, 6. 800px single-frame, 7. 800px XLA path, 8. multiscene
+
+Wall-clock budget: env NERF_BENCH_BUDGET_S (default 420 s). A stage is
+skipped when the remaining budget can't cover its estimate (remote compiles
+are ~40 s each and dominate); each stage also runs under a SIGALRM watchdog
+so one hung relay RPC can't eat the whole window. Transient backend errors
+poison the process (CLAUDE.md hazards), so if the FIRST stage fails and
+>=150 s of budget remain, the bench re-execs itself once in a fresh process,
+passing the original deadline through (--deadline) so the retry never
+exceeds the overall budget.
 
 Protocol (matches the reference's lego-lowres training step,
 config/lego.yml): 1024-ray batches, 64 coarse + 64 fine samples/ray,
 4x128 FlexibleNeRFModel with 10/4 encoding functions, viewdirs, stratified
 perturbation + sigma noise, Adam — i.e. the full forward+backward+update
-hot loop. Also reports 400x400 image-render throughput (eval path).
+hot loop.
 
 Baseline: the reference publishes no absolute rays/sec. BASELINE.md records
 200k iters x 1024 rays in "a few hours to a day" on one GPU (README.md:59);
 taking the fast end (5 h) gives ~11.4k rays/s — the denominator used for
 vs_baseline (>10x is the BASELINE.json target).
+
+MFU accounting: FlexibleNeRF 4x128 w/ skip + viewdir head is ~83k params
+=> ~167 KFLOP/point forward (2 FLOP/param); 64 coarse + 128 fine points/ray
+= 192 points => ~32 MFLOP/ray forward, x3 for fwd+bwd ~= 97 MFLOP/ray
+trained. Peak is the v5e's 197 bf16 TFLOP/s. Matches the measured roofline
+in docs/PARITY.md (64 TFLOP/s in-op = 33% peak; whole step ~37 TFLOP/s).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 REFERENCE_TRAIN_RAYS_PER_SEC = 11378.0  # 200_000 * 1024 rays / 5 h (see docstring)
+TRAIN_FLOPS_PER_RAY = 97e6              # fwd+bwd, 64+64 protocol (see docstring)
+PEAK_BF16_TFLOPS = 197.0                # TPU v5e (v5 lite) bf16 matmul peak
+# Same gate as the on-hardware kernel test (tests/test_tpu_kernels.py:148):
+# bf16 Pallas render vs bf16 XLA render of the same field.
+PALLAS_GUARD_MIN_PSNR_DB = 35.0
 
 
 def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
@@ -223,47 +255,316 @@ def bench_render(side: int = 400, use_pallas: bool = True) -> float:
     return side * side / min(times)
 
 
-def main():
-    train_rps = bench_train()
-    train_rps_bf16 = bench_train(compute_dtype="bfloat16")
-    render_400 = bench_render(400)
-    render_800 = bench_render(800)
-    render_800_xla = bench_render(800, use_pallas=False)
-    render_800_sustained = bench_render_pipelined(800)
-    multiscene_rps = bench_multiscene()
-    result = {
+def bench_numerics_guard(side: int = 128) -> float:
+    """Hardware numerics gate: render one small ray batch through BOTH the
+    fused Pallas path and the XLA path on-chip (same params, same rays, both
+    bf16) and return the PSNR between the two fine images. Catches Mosaic
+    regressions (bf16-default dots, reassociation, layout casts — the bug
+    class only hardware exhibits, docs/PARITY.md) before a Pallas-path
+    render number is reported. Healthy: > PALLAS_GUARD_MIN_PSNR_DB (35),
+    the same gate as tests/test_tpu_kernels.py."""
+    import numpy as np
+
+    from nerf_tpu.data import pose_spherical
+    from nerf_tpu.engine.renderer import RenderSettings, make_render_fn
+    from nerf_tpu.models import FlexibleNeRFModel
+    from nerf_tpu.ops import get_ray_bundle
+
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    pc = model.init(jax.random.PRNGKey(0))
+    pf = model.init(jax.random.PRNGKey(1))
+
+    def opacify(p):
+        # Random-init fields render near-empty: acc ~ 0, so white-background
+        # compositing maps BOTH paths to ~1.0 and the comparison saturates at
+        # the MSE floor regardless of kernel health (measured: exactly the
+        # 120 dB clamp). Amplify the weights and bias the density head
+        # positive so the frame has real structure for the diff to see.
+        p = jax.tree.map(lambda x: x * 3.0, p)
+        p["fc_alpha"]["bias"] = p["fc_alpha"]["bias"] + 2.0
+        return p
+
+    pc, pf = opacify(pc), opacify(pf)
+    focal = 0.5 * side / np.tan(0.5 * 0.6911112070083618)
+    pose = jnp.asarray(pose_spherical(45.0, -30.0, 4.0))
+    ro, rd = get_ray_bundle(side, side, focal, pose)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    rgb = {}
+    for use_pallas in (True, False):
+        settings = RenderSettings(
+            num_coarse=64, num_fine=64, perturb=False, white_background=True,
+            near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+            compute_dtype="bfloat16", use_pallas=use_pallas,
+        )
+        render = make_render_fn(model, model, settings)
+        out = render(pc, pf, ro, rd)
+        # Fence with a host fetch (device-side f32 image, 192 KB — small).
+        rgb[use_pallas] = np.asarray(out.fine.rgb, dtype=np.float64)
+
+    mse = float(np.mean((rgb[True] - rgb[False]) ** 2))
+    return float(-10.0 * np.log10(max(mse, 1e-12)))
+
+
+# ---------------------------------------------------------------------------
+# Staged, budget-aware driver
+
+
+class StageTimeout(Exception):
+    pass
+
+
+class _HardWatchdog:
+    """Daemon-thread watchdog for HARD hangs.
+
+    SIGALRM only fires between Python bytecodes; a relay RPC hung inside a C
+    call never returns, so the alarm handler never runs (observed: the axon
+    relay has episodes where a fresh chip claim blocks indefinitely —
+    CLAUDE.md hazards). A thread CAN still act while the main thread is
+    stuck: on expiry it emits the cumulative results (if the headline
+    landed), or exec-retries in a fresh process (if budget remains), else
+    exits nonzero — so the driver's record is never empty just because one
+    RPC hung.
+    """
+
+    def __init__(self, results: dict, deadline: float, retry_allowed: bool):
+        import threading
+
+        self.results = results
+        self.deadline = deadline
+        self.retry_allowed = retry_allowed
+        self.stage_deadline: float = float("inf")
+        self._cv = threading.Condition()
+        t = threading.Thread(target=self._watch, daemon=True)
+        t.start()
+
+    def arm(self, seconds: float) -> None:
+        with self._cv:
+            self.stage_deadline = time.monotonic() + seconds
+            self._cv.notify()
+
+    def disarm(self) -> None:
+        with self._cv:
+            self.stage_deadline = float("inf")
+            self._cv.notify()
+
+    def _watch(self) -> None:
+        while True:
+            with self._cv:
+                wait = self.stage_deadline - time.monotonic()
+                if wait > 0:
+                    self._cv.wait(timeout=min(wait, 5.0))
+                    continue
+            # Stage hard-hung past its deadline (+ the SIGALRM soft watchdog
+            # already failed to fire, or fired without unblocking the call).
+            print("[bench] HARD watchdog: stage hung in a blocked RPC",
+                  file=sys.stderr, flush=True)
+            if self.results.get("value") is not None:
+                self.results.setdefault("stage_errors", {})["<hung>"] = (
+                    "hard watchdog fired; later stages abandoned")
+                _emit(self.results, _T0)
+                os._exit(0)
+            remaining = self.deadline - time.monotonic()
+            if self.retry_allowed and remaining > 150:
+                print(f"[bench] hard-watchdog exec retry ({remaining:.0f}s left)",
+                      file=sys.stderr, flush=True)
+                os.execv(sys.executable, [
+                    sys.executable, os.path.abspath(__file__),
+                    "--deadline", str(time.time() + remaining),
+                ])
+            _emit(self.results, _T0)
+            os._exit(1)
+
+
+def _run_with_watchdog(fn, seconds: int):
+    """Run fn() under SIGALRM so one hung relay RPC can't eat the window.
+    (Soft layer: catches Python-level stalls; the _HardWatchdog thread
+    covers C-level hangs SIGALRM can't preempt.)"""
+    def _handler(signum, frame):
+        raise StageTimeout(f"stage exceeded {seconds}s watchdog")
+
+    prev = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(max(1, int(seconds)))
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
+def _emit(results: dict, t_start: float) -> None:
+    out = dict(results)
+    out["elapsed_s"] = round(time.monotonic() - t_start, 1)
+    print(json.dumps(out), flush=True)
+
+
+def _stage_warmup(r: dict) -> None:
+    """Claim the chip + one host roundtrip. The fresh-process claim is the
+    most variable cost (30-60 s normally; minutes during relay episodes —
+    CLAUDE.md hazards); absorbing it here keeps every metric stage's
+    estimate honest and its watchdog tight. Backend discovery also lives
+    here (not in main) because the first backend query can itself block on
+    the claim — it must happen under a watchdog."""
+    float(jnp.add(jnp.ones(()), 1.0).sum())
+    r["backend"] = jax.default_backend()
+    r["device"] = str(jax.devices()[0])
+
+
+def _stage_train_f32(r: dict) -> None:
+    rps = bench_train()
+    r["value"] = round(rps, 1)
+    r["vs_baseline"] = round(rps / REFERENCE_TRAIN_RAYS_PER_SEC, 2)
+
+
+def _stage_train_bf16(r: dict) -> None:
+    rps = bench_train(compute_dtype="bfloat16")
+    r["train_rays_per_sec_bf16"] = round(rps, 1)
+    tflops = rps * TRAIN_FLOPS_PER_RAY / 1e12
+    r["train_tflops_bf16"] = round(tflops, 1)
+    r["mfu_pct_bf16"] = round(100.0 * tflops / PEAK_BF16_TFLOPS, 1)
+
+
+def _stage_guard(r: dict) -> None:
+    psnr = bench_numerics_guard()
+    r["pallas_vs_xla_psnr_db"] = round(psnr, 1)
+    r["pallas_numerics_ok"] = bool(psnr > PALLAS_GUARD_MIN_PSNR_DB)
+
+
+def _stage_render_800_sustained(r: dict) -> None:
+    rps = bench_render_pipelined(800)
+    r["render_rays_per_sec_800px_sustained"] = round(rps, 1)
+    r["render_sec_per_frame_800px_sustained"] = round(800 * 800 / rps, 3)
+
+
+def _stage_render_400(r: dict) -> None:
+    r["render_rays_per_sec_400px"] = round(bench_render(400), 1)
+
+
+def _stage_render_800(r: dict) -> None:
+    rps = bench_render(800)
+    r["render_rays_per_sec_800px"] = round(rps, 1)
+    r["render_sec_per_frame_800px"] = round(800 * 800 / rps, 3)
+
+
+def _stage_render_800_xla(r: dict) -> None:
+    r["render_rays_per_sec_800px_xla"] = round(bench_render(800, use_pallas=False), 1)
+
+
+def _stage_multiscene(r: dict) -> None:
+    r["multiscene6_train_rays_per_sec_bf16"] = round(bench_multiscene(), 1)
+
+
+# (name, wall-clock estimate s, fn). Estimates are compile-dominated
+# (~40 s/program over the remote relay, often cached) + run time + margin;
+# measured warm-claim stage times are 13-30 s each (round 3).
+HEADLINE_STAGES = [
+    ("warmup", 100, _stage_warmup),
+    ("train_f32", 90, _stage_train_f32),
+    ("train_bf16", 75, _stage_train_bf16),
+    ("pallas_guard", 100, _stage_guard),          # 2 small compiles
+    ("render_800_sustained", 90, _stage_render_800_sustained),
+]
+EXTRA_STAGES = [
+    ("render_400", 70, _stage_render_400),
+    ("render_800", 70, _stage_render_800),
+    ("render_800_xla", 80, _stage_render_800_xla),
+    ("multiscene6", 110, _stage_multiscene),
+]
+STAGES = HEADLINE_STAGES + EXTRA_STAGES
+
+
+_T0 = time.monotonic()
+
+
+def main(deadline: float) -> dict:
+    t_start = _T0
+    results = {
         "metric": "train rays/sec/chip (lego-lowres protocol: 1024-ray batch, 64+64 samples, fwd+bwd+adam)",
-        "value": round(train_rps, 1),
+        "value": None,
         "unit": "rays/sec",
-        "vs_baseline": round(train_rps / REFERENCE_TRAIN_RAYS_PER_SEC, 2),
-        "train_rays_per_sec_bf16": round(train_rps_bf16, 1),
-        "render_rays_per_sec_400px": round(render_400, 1),
-        "render_rays_per_sec_800px": round(render_800, 1),
-        "render_sec_per_frame_800px": round(800 * 800 / render_800, 3),
-        "render_rays_per_sec_800px_sustained": round(render_800_sustained, 1),
-        "render_sec_per_frame_800px_sustained": round(
-            800 * 800 / render_800_sustained, 3),
-        "render_rays_per_sec_800px_xla": round(render_800_xla, 1),
-        "multiscene6_train_rays_per_sec_bf16": round(multiscene_rps, 1),
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
+        "vs_baseline": None,
+        "budget_s": round(deadline - t_start, 1),
+        "stages_completed": [],
     }
-    print(json.dumps(result))
+    hard = _HardWatchdog(
+        results, deadline, retry_allowed="--deadline" not in sys.argv
+    )
+
+    def attempt(name, est, fn):
+        watchdog = min(deadline - time.monotonic(), est * 2.5)
+        try:
+            t0 = time.monotonic()
+            hard.arm(watchdog + 30)  # grace: let SIGALRM try first
+            _run_with_watchdog(lambda: fn(results), watchdog)
+            results["stages_completed"].append(name)
+            results.get("stage_errors", {}).pop(name, None)
+            print(f"[bench] {name} done in {time.monotonic() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 - record and move on
+            results.setdefault("stage_errors", {})[name] = repr(e)[:200]
+            print(f"[bench] {name} FAILED: {e!r}", file=sys.stderr, flush=True)
+        finally:
+            hard.disarm()
+        if results["value"] is not None:
+            _emit(results, t_start)
+
+    def sweep(stages, retry_pass=False):
+        for name, est, fn in stages:
+            if retry_pass and name not in results.get("stage_errors", {}):
+                continue
+            remaining = deadline - time.monotonic()
+            if remaining < 0.8 * est:
+                if not retry_pass:
+                    results.setdefault("stages_skipped", []).append(name)
+                print(f"[bench] skipping {name}: {remaining:.0f}s left "
+                      f"< est {est}s", file=sys.stderr, flush=True)
+                continue
+            if retry_pass:
+                print(f"[bench] retrying {name}", file=sys.stderr, flush=True)
+            attempt(name, est, fn)
+
+    # Headline first; retry its failures (e.g. the soft watchdog fired while
+    # the initial chip claim was still settling) BEFORE spending any budget
+    # on extras; extras last, with their own end-of-run retry.
+    sweep(HEADLINE_STAGES)
+    sweep(HEADLINE_STAGES, retry_pass=True)
+    sweep(EXTRA_STAGES)
+    sweep(EXTRA_STAGES, retry_pass=True)
+    return results
 
 
 if __name__ == "__main__":
-    import os
-    import sys
+    budget = float(os.environ.get("NERF_BENCH_BUDGET_S", "420"))
+    deadline = time.monotonic() + budget
+    for i, a in enumerate(sys.argv):
+        if a == "--deadline" and i + 1 < len(sys.argv):
+            # Re-exec'd retry: honor the ORIGINAL wall-clock deadline (passed
+            # as unix time, converted back to this process's monotonic base).
+            deadline = time.monotonic() + (float(sys.argv[i + 1]) - time.time())
 
-    try:
-        main()
-    except Exception as e:  # pragma: no cover - transient-infra path
-        # The remote TPU relay occasionally kills a run with a transient
-        # backend error (FAILED_PRECONDITION / ABORTED — CLAUDE.md hazards).
-        # A backend error poisons the whole process, so retry by re-exec:
-        # a fresh process gets a fresh chip claim. One retry only.
-        if "--retried" in sys.argv:
-            raise
-        print(f"bench attempt failed ({e!r}); retrying in a fresh process",
-              file=sys.stderr)
-        os.execv(sys.executable, [sys.executable, __file__, "--retried"])
+    results = main(deadline)
+    if results["value"] is None and "train_rays_per_sec_bf16" in results:
+        # f32 stage failed but bf16 landed: report bf16 as the headline
+        # rather than a null record (metric string says which protocol).
+        results["value"] = results["train_rays_per_sec_bf16"]
+        results["vs_baseline"] = round(
+            results["value"] / REFERENCE_TRAIN_RAYS_PER_SEC, 2)
+        results["metric"] = results["metric"].replace(
+            "fwd+bwd+adam)", "fwd+bwd+adam, bf16 — f32 stage failed)")
+        _emit(results, _T0)
+    if results["value"] is None:
+        # Headline never landed. A transient backend error poisons the whole
+        # process (CLAUDE.md hazards: a fresh process gets a fresh chip
+        # claim) — retry once, in the remaining budget only.
+        remaining = deadline - time.monotonic()
+        if "--deadline" not in sys.argv and remaining > 150:
+            print(f"[bench] headline missing; retrying in a fresh process "
+                  f"({remaining:.0f}s left)", file=sys.stderr, flush=True)
+            os.execv(sys.executable, [
+                sys.executable, __file__,
+                "--deadline", str(time.time() + remaining),
+            ])
+        # Out of budget/retries: emit what we have so the record is never
+        # empty (value stays null, stage_errors say why).
+        _emit(results, _T0)
+        sys.exit(1)
