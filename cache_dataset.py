@@ -42,7 +42,8 @@ def cache_nerf_dataset(args) -> str:
         poses = poses[:, :3, :4]
     elif args.type == "llff":
         images, poses, bds, _, i_test = load_llff_data(
-            args.datapath, factor=args.factor, spherify=args.spherify
+            args.datapath, factor=args.factor, spherify=args.spherify,
+            path_zflat=args.path_zflat,
         )
         hwf = [int(poses[0, 0, 4]), int(poses[0, 1, 4]), float(poses[0, 2, 4])]
         poses = poses[:, :3, :4]
@@ -108,6 +109,12 @@ def main():
     parser.add_argument(
         "--spherify", action="store_true",
         help="Spherify 360-degree LLFF captures (load_llff.py:278-279)",
+    )
+    parser.add_argument(
+        "--path-zflat", action="store_true",
+        help="Flatten the spiral render path in z (load_llff.py:278-279). "
+             "Loader-surface parity pass-through: the cache stores no render "
+             "trajectory, so this does not change the cached rays",
     )
     parser.add_argument("--blender-white-background", action="store_true")
     parser.add_argument(

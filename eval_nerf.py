@@ -115,7 +115,7 @@ def main():
             )
             render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
     elif cfg.dataset.type == "llff":
-        _, poses, _, render_poses, _ = load_llff_data(
+        _, poses, _, render_poses, i_holdout = load_llff_data(
             cfg.dataset.basedir,
             factor=getattr(cfg.dataset, "downsample_factor", 8),
             spherify=bool(getattr(cfg.dataset, "spherify", False)),
@@ -126,8 +126,13 @@ def main():
         if args.split != "render":
             # llffhold split, same as training (reference train_nerf.py:75-84:
             # every llffhold-th view is held out; val == test for LLFF).
+            # llffhold <= 0 falls back to the loader's single
+            # nearest-to-average holdout view, matching train_nerf.py:137-141.
             llffhold = int(getattr(cfg.dataset, "llffhold", 8))
-            i_test = np.arange(poses.shape[0])[::max(llffhold, 1)]
+            if llffhold > 0:
+                i_test = np.arange(poses.shape[0])[::llffhold]
+            else:
+                i_test = np.array([i_holdout])
             if args.split == "train":
                 sel = np.array([i for i in range(poses.shape[0]) if i not in i_test])
             else:

@@ -275,6 +275,11 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
 
     try:
         ckpt = load_torch_file(path)
+    except OSError:
+        # Plain file errors (missing path, permissions) are NOT reader
+        # failures — torch.load would hit the same wall after paying a
+        # warning plus a backend-initializing torch import. Let them surface.
+        raise
     except Exception as e:
         # Surface the reader's reason before falling back: a silent
         # fallback would mask reader regressions (torch-ful installs) or

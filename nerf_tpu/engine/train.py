@@ -77,10 +77,40 @@ def make_optimizer(
         "sgd": optax.sgd,
         "rmsprop": optax.rmsprop,
         "adagrad": optax.adagrad,
+        "adamax": optax.adamax,
+        "adadelta": optax.adadelta,
+        "nadam": optax.nadam,
+        "radam": optax.radam,
+        "rprop": optax.rprop,
     }
     if name not in table:
-        raise ValueError(f"Unsupported optimizer {optimizer_type!r}; available: {sorted(table)}")
-    opt = table[name](learning_rate=schedule)
+        # The few torch.optim names with no optax first-order equivalent
+        # (getattr surface, reference train_nerf.py:139-141) get a targeted
+        # explanation; anything else gets the list + the nearest alias.
+        no_equiv = {
+            "asgd": "averaged SGD has no optax equivalent; 'sgd' is nearest",
+            "lbfgs": "L-BFGS needs a line-search-driven update loop "
+                     "(optax.lbfgs) incompatible with the fixed train step; "
+                     "use 'adam'",
+            "sparseadam": "JAX arrays are dense; use 'adam'",
+        }
+        import difflib
+
+        hint = no_equiv.get(name)
+        if hint is None:
+            close = difflib.get_close_matches(name, table, n=1)
+            hint = f"did you mean {close[0]!r}?" if close else None
+        raise ValueError(
+            f"Unsupported optimizer {optimizer_type!r}; available: "
+            f"{sorted(table)}" + (f" ({hint})" if hint else "")
+        )
+    if name == "rprop":
+        # optax.rprop takes a plain float lr (its per-parameter adaptive step
+        # sizes subsume a schedule — same reason torch.optim.Rprop has no
+        # lr_scheduler interaction); use the initial lr, ignore the decay.
+        opt = optax.rprop(learning_rate=float(lr))
+    else:
+        opt = table[name](learning_rate=schedule)
     if grad_clip_norm:
         opt = optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), opt)
     # optax.flatten: run the update on ONE raveled parameter vector instead of
@@ -277,6 +307,13 @@ def sample_ray_batch(
     """
     if mode == "sliced":
         n = ray_origins.shape[0]
+        if n < batch_size:
+            # Shapes are static at trace time: fail here instead of letting
+            # randint(maxval <= minval) produce undefined values under jit
+            # and dynamic_slice silently clamp to a degenerate window.
+            raise ValueError(
+                f"sliced sampling needs store size >= batch ({n} < {batch_size})"
+            )
         off = jax.random.randint(key, (), 0, n - batch_size + 1)
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, batch_size)  # noqa: E731
         return sl(ray_origins), sl(ray_directions), sl(targets)

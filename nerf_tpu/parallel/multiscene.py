@@ -142,6 +142,12 @@ def sample_multiscene_batch(
     """
     num_scenes, n = ray_origins.shape[:2]
     if mode == "sliced":
+        if n < batch_size:
+            # Static shapes: see engine.train.sample_ray_batch — avoids
+            # undefined randint values + a silently clamped degenerate slice.
+            raise ValueError(
+                f"sliced sampling needs store size >= batch ({n} < {batch_size})"
+            )
         off = jax.random.randint(key, (num_scenes,), 0, n - batch_size + 1)
         take = jax.vmap(
             lambda a, o: jax.lax.dynamic_slice_in_dim(a, o, batch_size)

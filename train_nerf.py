@@ -241,6 +241,13 @@ def main():
     # 4x128 models regardless of what any config claims (SURVEY §5 quirk 1),
     # so the models must be built reference-shaped or the restored params
     # would crash/mis-train under config-claimed shapes.
+    if args.load_checkpoint and not os.path.exists(args.load_checkpoint):
+        # Fail fast: a typo'd path would otherwise silently train
+        # reference-shaped models from scratch (the resume branch below is
+        # guarded by os.path.exists).
+        raise SystemExit(
+            f"--load-checkpoint {args.load_checkpoint!r} does not exist"
+        )
     reference_resume = args.load_checkpoint.endswith(".ckpt")
     model_coarse = model_from_config(
         cfg.models.coarse, reference_compat_shapes=reference_resume
