@@ -107,6 +107,33 @@ class RayRenderResult(NamedTuple):
         return self.fine.rgb if self.fine is not None else self.coarse.rgb
 
 
+def render_maps_dict(out: RayRenderResult) -> Dict[str, jnp.ndarray]:
+    """The canonical per-ray output-maps dict: rgb/disp/acc/depth for coarse
+    (+fine when present). Single assembly point shared by the serial image
+    renderer, both sharded renderers (parallel/dp.py), and the driver entry
+    check — a new output key added here reaches every path at once.
+
+    ``weights`` (per-sample, (..., S)) is deliberately NOT included: at image
+    scale it is S x larger than every other map (an 800px frame's fine
+    weights alone are ~320 MB) — callers needing it use the RayRenderResult
+    from render_rays / make_render_fn directly.
+    """
+    res = {
+        "rgb_coarse": out.coarse.rgb,
+        "disp_coarse": out.coarse.disp,
+        "acc_coarse": out.coarse.acc,
+        "depth_coarse": out.coarse.depth,
+    }
+    if out.fine is not None:
+        res.update(
+            rgb_fine=out.fine.rgb,
+            disp_fine=out.fine.disp,
+            acc_fine=out.fine.acc,
+            depth_fine=out.fine.depth,
+        )
+    return res
+
+
 def encode_points(
     pts: jnp.ndarray,
     viewdirs: Optional[jnp.ndarray],
@@ -338,18 +365,7 @@ def make_image_render_fn(
                 model_coarse, params_coarse, model_fine, params_fine,
                 ro_c, rd_c, s, k,
             )
-            res = {
-                "rgb_coarse": out.coarse.rgb,
-                "disp_coarse": out.coarse.disp,
-                "acc_coarse": out.coarse.acc,
-            }
-            if out.fine is not None:
-                res.update(
-                    rgb_fine=out.fine.rgb,
-                    disp_fine=out.fine.disp,
-                    acc_fine=out.fine.acc,
-                )
-            return res
+            return render_maps_dict(out)
 
         maps = jax.lax.map(render_chunk, (ro, rd, keys))
         result = {}

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine.renderer import RenderSettings, render_rays
+from ..engine.renderer import RenderSettings, render_maps_dict, render_rays
 from ..engine.train import (
     StepMetrics,
     TrainState,
@@ -182,18 +182,7 @@ def make_parallel_render_fn(
             model_coarse, params_coarse, model_fine, params_fine,
             ro, rd, eval_settings, None,
         )
-        res = {
-            "rgb_coarse": out.coarse.rgb,
-            "disp_coarse": out.coarse.disp,
-            "acc_coarse": out.coarse.acc,
-        }
-        if out.fine is not None:
-            res.update(
-                rgb_fine=out.fine.rgb,
-                disp_fine=out.fine.disp,
-                acc_fine=out.fine.acc,
-            )
-        return res
+        return render_maps_dict(out)
 
     sharded = jax.shard_map(
         shard_render,
@@ -239,18 +228,7 @@ def make_parallel_image_render_fn(
                 model_coarse, params_coarse, model_fine, params_fine,
                 ro_c, rd_c, eval_settings, None,
             )
-            res = {
-                "rgb_coarse": out.coarse.rgb,
-                "disp_coarse": out.coarse.disp,
-                "acc_coarse": out.coarse.acc,
-            }
-            if out.fine is not None:
-                res.update(
-                    rgb_fine=out.fine.rgb,
-                    disp_fine=out.fine.disp,
-                    acc_fine=out.fine.acc,
-                )
-            return res
+            return render_maps_dict(out)
 
         maps = jax.lax.map(
             render_chunk,

@@ -77,6 +77,30 @@ def test_render_fn_jits_and_is_deterministic():
     np.testing.assert_array_equal(np.asarray(a.fine.rgb), np.asarray(b.fine.rgb))
 
 
+def test_render_maps_dict_canonical_keys():
+    """The shared output-dict assembly (engine.renderer.render_maps_dict —
+    used by the serial image renderer, both sharded renderers, and the
+    driver check) exposes rgb/disp/acc/depth for both stages, and depth is
+    consistent with disp (disp ~ 1/(depth/acc) per ops/volume.py)."""
+    from nerf_tpu.engine.renderer import render_maps_dict
+
+    settings, model, params = _tiny_setup()
+    ro = jnp.zeros((8, 3))
+    rd = jnp.tile(jnp.array([0.1, 0.2, -1.0]), (8, 1))
+    out = render_rays(model, params, model, params, ro, rd, settings, None)
+    maps = render_maps_dict(out)
+    assert set(maps) == {
+        "rgb_coarse", "disp_coarse", "acc_coarse", "depth_coarse",
+        "rgb_fine", "disp_fine", "acc_fine", "depth_fine",
+    }
+    assert maps["depth_fine"].shape == (8,)
+    np.testing.assert_array_equal(
+        np.asarray(maps["depth_fine"]), np.asarray(out.fine.depth)
+    )
+    # weights stay out of the dict by design (S-times larger than any map).
+    assert not any("weight" in k for k in maps)
+
+
 def test_eval_variant_disables_stochasticity():
     s = RenderSettings(perturb=True, radiance_field_noise_std=1.0)
     e = s.eval_variant()
@@ -84,6 +108,7 @@ def test_eval_variant_disables_stochasticity():
     assert s.perturb is True  # original untouched
 
 
+@pytest.mark.slow
 def test_image_render_chunking_matches_unchunked():
     """lax.map chunked rendering must be numerically identical to one big batch."""
     settings, model, params = _tiny_setup()
