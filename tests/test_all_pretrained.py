@@ -42,6 +42,7 @@ def test_all_seven_checkpoints_convert_and_forward():
         assert ckpt["psnr"] is not None and ckpt["psnr"] > 15.0, scene
 
 
+@pytest.mark.slow
 def test_vmapped_multiscene_render_real_weights():
     """Render the same pose through all 6 blender checkpoints as ONE vmapped
     program — multi-scene inference on real weights."""

@@ -4,6 +4,7 @@ resume path used by train_nerf.py."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_tpu.engine.checkpoint import (
     latest_checkpoint,
@@ -76,6 +77,7 @@ def test_latest_checkpoint(tmp_path):
     assert latest_checkpoint(str(tmp_path)).endswith("checkpoint00020.ntc")
 
 
+@pytest.mark.slow
 def test_reference_optimizer_state_export(tmp_path):
     """Exported .ckpt optimizer_state_dict must be loadable by torch Adam over
     a reference-ordered parameter list and carry our Adam moments (VERDICT r1

@@ -20,6 +20,8 @@ import imageio.v2 as imageio
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess CLIs: fresh interpreter + compile each
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _LAUNCHER = """

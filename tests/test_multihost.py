@@ -14,8 +14,48 @@ import os
 import socket
 import subprocess
 import sys
+import threading
+import time
+
+import pytest
+
+pytestmark = pytest.mark.slow  # 2-process jobs; minutes, not seconds
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _collect(procs, deadline_s):
+    """Gather (rc, stdout, stderr) from all workers under ONE shared
+    deadline, with an early liveness check: the moment any worker exits
+    nonzero, its peers are killed — a dead peer means the survivors would
+    otherwise block on collectives until the full timeout (the old
+    per-process communicate(timeout=600) allowed 2x600 s worst case)."""
+    results = [None] * len(procs)
+
+    def drain(i, p):
+        out, err = p.communicate()
+        results[i] = (p.returncode, out, err)
+
+    threads = [
+        threading.Thread(target=drain, args=(i, p), daemon=True)
+        for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    end = time.monotonic() + deadline_s
+    while time.monotonic() < end and any(r is None for r in results):
+        if any(r is not None and r[0] != 0 for r in results):
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        time.sleep(0.5)
+    for p in procs:  # shared deadline expired (no-op if all exited)
+        if p.poll() is None:
+            p.kill()
+    for t in threads:
+        t.join(timeout=15)
+    assert all(r is not None for r in results), "worker did not exit in time"
+    return results
 
 _WORKER = """
 import os
@@ -57,10 +97,7 @@ def test_two_process_data_parallel_pipeline():
             )
         )
     try:
-        outs = []
-        for p in procs:
-            out, err = p.communicate(timeout=600)
-            outs.append((p.returncode, out, err))
+        outs = _collect(procs, deadline_s=300)
     finally:
         for p in procs:
             if p.poll() is None:
@@ -121,7 +158,7 @@ def test_two_process_train_cli(tmp_path):
             )
         )
     try:
-        outs = [p.communicate(timeout=600) for p in procs]
+        outs = [r[1:] for r in _collect(procs, deadline_s=420)]
     finally:
         for p in procs:
             if p.poll() is None:

@@ -4,6 +4,7 @@ running each scene's step alone."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_tpu.engine.renderer import RenderSettings
 from nerf_tpu.engine.train import create_train_state, make_optimizer, make_train_step
@@ -27,6 +28,7 @@ def _setup():
     return settings, model, opt
 
 
+@pytest.mark.slow
 def test_multiscene_state_shapes():
     settings, model, opt = _setup()
     state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), 3)
@@ -54,6 +56,7 @@ def test_multiscene_step_runs_and_is_per_scene(rng):
     assert (np.asarray(state2.step) == 1).all()
 
 
+@pytest.mark.slow
 def test_multiscene_matches_singlescene():
     """Scene s of the vmapped step must equal a solo step with scene s's state."""
     settings, model, opt = _setup()
@@ -138,6 +141,7 @@ def test_multiscene_loop_scans():
     assert np.isfinite(np.asarray(metrics.loss)).all()
 
 
+@pytest.mark.slow
 def test_multiscene_cli_checkpoint_export(tmp_path):
     """train_multiscene.py --save-dir writes one eval-compatible native
     checkpoint per scene (the sliced-vmap export the 6-scene quality sweep

@@ -4,6 +4,9 @@ path: forward-facing cameras, near 0 / far 1 in NDC space)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # convergence run
 
 from nerf_tpu.data.synthetic import render_analytic_image
 from nerf_tpu.engine.renderer import RenderSettings

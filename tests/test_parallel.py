@@ -4,6 +4,7 @@ match single-device training, and sharded rendering must match unsharded."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_tpu.engine.renderer import RenderSettings, render_rays
 from nerf_tpu.engine.train import (
@@ -98,6 +99,7 @@ def test_parallel_train_step_stochastic_runs_and_improves():
     assert int(state.step) == 30
 
 
+@pytest.mark.slow
 def test_parallel_render_matches_unsharded():
     settings, model, opt, state = _setup()
     mesh = make_mesh()

@@ -79,6 +79,7 @@ def test_sample_ray_batch_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(a[0]) + 2)
 
 
+@pytest.mark.slow
 def test_end_to_end_convergence_on_synthetic_scene():
     """The tiny-NeRF integration test (SURVEY.md §4): loss must drop and PSNR
     must climb well above the initial value within a few hundred steps."""
@@ -155,6 +156,7 @@ def test_shuffle_ray_store_alignment():
     np.testing.assert_array_equal(sro, sro2)  # seed-deterministic
 
 
+@pytest.mark.slow
 def test_train_loop_sliced_sampling_converges():
     """The K-step scan loop with sliced sampling trains as well as gather
     on a (shuffled) synthetic store."""
