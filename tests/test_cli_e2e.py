@@ -425,3 +425,19 @@ def test_train_resumes_directly_from_reference_ckpt(tmp_path):
     assert os.path.exists(
         os.path.join(logdir, "lego-lowres", "checkpoint200002.ntc")
     )
+
+
+def test_train_missing_load_checkpoint_fails_fast(tmp_path):
+    """A typo'd --load-checkpoint must fail immediately, not silently train
+    reference-shaped models from scratch (advisor finding, round 2)."""
+    cmd = [
+        sys.executable, "-c", _LAUNCHER, os.path.join(REPO, "train_nerf.py"),
+        "--config", "configs/synthetic_smoke.yml",
+        "--overrides", "experiment.logdir", str(tmp_path / "logs"),
+        "--load-checkpoint", str(tmp_path / "no_such_file.ckpt"),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd=REPO
+    )
+    assert proc.returncode != 0
+    assert "does not exist" in proc.stderr
