@@ -15,7 +15,7 @@ defaults-only construction when loading its pretrained checkpoints.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 from ..engine.renderer import RenderSettings
 from ..engine.train import make_optimizer
