@@ -9,6 +9,16 @@ from .checkpoint import (
     save_checkpoint,
     to_torch_state_dict,
 )
+from .pose_opt import (
+    PoseOptState,
+    init_pose_opt_state,
+    make_photometric_loss_fn,
+    make_pose_opt_loop,
+    make_pose_opt_step,
+    perturb_poses,
+    pose_errors,
+    twists_to_poses,
+)
 from .renderer import (
     RayRenderResult,
     RenderSettings,
@@ -35,6 +45,14 @@ __all__ = [
     "load_reference_checkpoint",
     "save_checkpoint",
     "to_torch_state_dict",
+    "PoseOptState",
+    "init_pose_opt_state",
+    "make_photometric_loss_fn",
+    "make_pose_opt_loop",
+    "make_pose_opt_step",
+    "perturb_poses",
+    "pose_errors",
+    "twists_to_poses",
     "RayRenderResult",
     "RenderSettings",
     "make_image_render_fn",

@@ -1,0 +1,278 @@
+"""Camera-pose refinement through the frozen differentiable renderer.
+
+The reference ships ``lieutils.py`` — 799 lines of SO(3)/SE(3) machinery
+"for pose optimization experiments" — but never imports it anywhere
+(SURVEY.md §2.9; reference lieutils.py:453-799). This module completes the
+capability the reference only gestured at: per-image se(3) twists are
+left-composed onto initial camera-to-world poses and optimized against the
+photometric loss with the NeRF weights FROZEN, differentiating through ray
+synthesis, positional encoding, both MLPs, hierarchical resampling, and
+volume compositing (the BARF/iNeRF-style registration setup).
+
+TPU-native design: one refinement step — per-image pixel sampling, ray
+synthesis from the *current* refined poses, the full coarse→fine render,
+and the Adam update on the twists — is a single jitted program, and
+``make_pose_opt_loop`` wraps K steps in one ``lax.scan`` so a single host
+dispatch amortizes the relay latency exactly like the training loop
+(engine/train.py make_train_loop). Only the (N, 6) twist vector and a
+scalar loss cross the host<->device boundary per K steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..lie import se3_exp, so3_log
+from .renderer import RenderSettings, render_rays
+
+Params = Dict[str, Any]
+
+
+class PoseOptState(NamedTuple):
+    """Twist parameters + their optimizer state (NeRF params stay frozen)."""
+
+    xi: jnp.ndarray  # (N, 6) se(3) twists [v, omega], zeros = initial poses
+    opt_state: Any
+
+
+def as_homogeneous(poses: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3, 4) or (N, 4, 4) camera-to-world -> (N, 4, 4)."""
+    if poses.shape[-2] == 4:
+        return poses
+    bottom = jnp.zeros_like(poses[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([poses, bottom], axis=-2)
+
+
+def twists_to_poses(xi: jnp.ndarray, base_poses: jnp.ndarray) -> jnp.ndarray:
+    """Left-compose per-image twists onto base poses.
+
+    ``T_i = Exp(xi_i) @ base_i`` — the tangent-space parameterization keeps
+    the estimate exactly on SE(3) for any xi (no re-orthonormalization), and
+    xi = 0 reproduces the base poses bit-for-bit.
+
+    Args:
+      xi:         (N, 6) twists.
+      base_poses: (N, 3, 4) or (N, 4, 4) camera-to-world matrices.
+    Returns:
+      (N, 3, 4) refined camera-to-world matrices.
+    """
+    base = as_homogeneous(base_poses)
+    return jax.vmap(lambda x, p: (se3_exp(x) @ p)[:3, :4])(xi, base)
+
+
+def pose_errors(
+    poses_a: jnp.ndarray, poses_b: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Per-pose geodesic rotation error (degrees) and translation L2.
+
+    rot_deg_i = ||Log(R_a_i^T R_b_i)|| in degrees — the bi-invariant SO(3)
+    distance; trans_i = ||t_a_i - t_b_i||.
+    """
+    Ra, Rb = poses_a[..., :3, :3], poses_b[..., :3, :3]
+    rel = jnp.swapaxes(Ra, -1, -2) @ Rb
+    rot_rad = jnp.linalg.norm(jax.vmap(so3_log)(rel), axis=-1)
+    trans = jnp.linalg.norm(
+        poses_a[..., :3, 3] - poses_b[..., :3, 3], axis=-1
+    )
+    return {"rot_deg": jnp.degrees(rot_rad), "trans": trans}
+
+
+def _sample_pixel_rays(
+    poses34: jnp.ndarray,
+    images: jnp.ndarray,
+    key: jax.Array,
+    height: int,
+    width: int,
+    focal_length: float,
+    rays_per_image: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample ``rays_per_image`` random pixels from EVERY image and build
+    their world-frame rays from the current (differentiable) poses.
+
+    Rays are synthesized per sampled pixel with the exact ``get_ray_bundle``
+    camera convention (ops/rays.py:24-58; reference nerf_helpers.py:89-110)
+    — only R rays per image are materialized, never the full H*W bundle.
+    Returns flat (N*R, 3) origins/directions/targets.
+    """
+    n = images.shape[0]
+    keys = jax.random.split(key, n)
+
+    def per_image(pose, img, k):
+        idx = jax.random.randint(k, (rays_per_image,), 0, height * width)
+        x = (idx % width).astype(pose.dtype)
+        y = (idx // width).astype(pose.dtype)
+        dirs = jnp.stack(
+            [
+                (x - width * 0.5) / focal_length,
+                -(y - height * 0.5) / focal_length,
+                -jnp.ones_like(x),
+            ],
+            axis=-1,
+        )
+        rd = jnp.sum(dirs[..., None, :] * pose[:3, :3], axis=-1)
+        ro = jnp.broadcast_to(pose[:3, -1], rd.shape)
+        tgt = img.reshape(-1, img.shape[-1])[idx]
+        return ro, rd, tgt
+
+    ro, rd, tgt = jax.vmap(per_image)(poses34, images, keys)
+    return ro.reshape(-1, 3), rd.reshape(-1, 3), tgt.reshape(-1, 3)
+
+
+def make_photometric_loss_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    height: int,
+    width: int,
+    focal_length: float,
+    rays_per_image: int,
+):
+    """Build ``loss(xi, base_poses, images, params_coarse, params_fine, key)``.
+
+    The training objective restricted to pose variables: coarse MSE + fine
+    MSE (reference train_nerf.py:190-196) over ``rays_per_image`` pixels
+    sampled per image with ``key``, so coarse and fine stages must both
+    explain the image from the refined camera. With a fixed key it doubles
+    as a deterministic before/after evaluation metric (optimize_poses.py).
+    """
+    needs_rng = settings.perturb or settings.radiance_field_noise_std > 0.0
+
+    def photometric_loss(xi, base_poses, images, params_coarse, params_fine, key):
+        k_pix, k_render = jax.random.split(key)
+        poses34 = twists_to_poses(xi, base_poses)
+        ro, rd, tgt = _sample_pixel_rays(
+            poses34, images, k_pix, height, width, focal_length, rays_per_image
+        )
+        out = render_rays(
+            model_coarse,
+            params_coarse,
+            model_fine,
+            params_fine,
+            ro,
+            rd,
+            settings,
+            k_render if needs_rng else None,
+        )
+        loss = jnp.mean((out.coarse.rgb - tgt) ** 2)
+        if out.fine is not None:
+            loss = loss + jnp.mean((out.fine.rgb - tgt) ** 2)
+        return loss
+
+    return photometric_loss
+
+
+def make_pose_opt_step(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    height: int,
+    width: int,
+    focal_length: float,
+    rays_per_image: int,
+    optimizer: optax.GradientTransformation,
+):
+    """Build one jitted pose-refinement step.
+
+    ``step(state, base_poses, images, params_coarse, params_fine, key)
+    -> (new_state, loss)`` where ``base_poses`` is (N, 4, 4) (use
+    ``as_homogeneous`` once outside), ``images`` is (N, H, W, 3) and both
+    params pytrees are frozen (no gradients flow into them).
+
+    Pass a deterministic ``settings`` (``settings.eval_variant()`` with
+    ``use_pallas=False``): the fused Pallas kernel is forward-only and
+    z-perturbation only adds sampling noise to the pose gradient.
+    """
+    photometric_loss = make_photometric_loss_fn(
+        model_coarse, model_fine, settings, height, width, focal_length,
+        rays_per_image,
+    )
+
+    def step(state: PoseOptState, base_poses, images, params_coarse,
+             params_fine, key):
+        loss, grads = jax.value_and_grad(photometric_loss)(
+            state.xi, base_poses, images, params_coarse, params_fine, key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.xi)
+        xi = optax.apply_updates(state.xi, updates)
+        return PoseOptState(xi, opt_state), loss
+
+    return step
+
+
+def make_pose_opt_loop(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    height: int,
+    width: int,
+    focal_length: float,
+    rays_per_image: int,
+    optimizer: optax.GradientTransformation,
+    steps_per_loop: int,
+    jit: bool = True,
+):
+    """K refinement steps in one ``lax.scan`` — one dispatch per K steps.
+
+    ``loop(state, base_poses, images, params_coarse, params_fine, base_key)
+    -> (new_state, losses[K])``. Keys are derived per step by folding the
+    step index into ``base_key``.
+    """
+    step = make_pose_opt_step(
+        model_coarse, model_fine, settings, height, width, focal_length,
+        rays_per_image, optimizer,
+    )
+
+    def loop(state, base_poses, images, params_coarse, params_fine, base_key):
+        def body(carry, i):
+            new_state, loss = step(
+                carry, base_poses, images, params_coarse, params_fine,
+                jax.random.fold_in(base_key, i),
+            )
+            return new_state, loss
+
+        return jax.lax.scan(body, state, jnp.arange(steps_per_loop))
+
+    return jax.jit(loop) if jit else loop
+
+
+def init_pose_opt_state(
+    num_poses: int, optimizer: optax.GradientTransformation
+) -> PoseOptState:
+    """Zero twists (= the initial poses) + fresh optimizer state."""
+    xi = jnp.zeros((num_poses, 6), jnp.float32)
+    return PoseOptState(xi, optimizer.init(xi))
+
+
+def perturb_poses(
+    poses: jnp.ndarray,
+    key: jax.Array,
+    rot_deg: float,
+    trans: float,
+) -> jnp.ndarray:
+    """Apply a random rigid perturbation of KNOWN magnitude to every pose.
+
+    Rotation: left-multiply R by Exp(axis * rot_rad) with a uniformly random
+    unit axis (conjugation preserves the geodesic angle, so ``pose_errors``
+    reads back exactly ``rot_deg``). Translation: add a random unit direction
+    scaled by ``trans`` (kept additive — NOT folded into the twist — so the
+    translation error is exactly ``trans``, independent of the camera's
+    distance from the origin). Used by optimize_poses.py's demo mode to
+    create a registration problem with known ground truth.
+    """
+    from ..lie import so3_exp
+
+    n = poses.shape[0]
+    k_axis, k_dir = jax.random.split(key)
+    axis = jax.random.normal(k_axis, (n, 3))
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    tdir = jax.random.normal(k_dir, (n, 3))
+    tdir = tdir / jnp.linalg.norm(tdir, axis=-1, keepdims=True)
+    R = jax.vmap(lambda a, p: so3_exp(a) @ p[:3, :3])(
+        axis * jnp.radians(rot_deg), poses
+    )
+    t = poses[..., :3, 3] + tdir * trans
+    return jnp.concatenate([R, t[..., :, None]], axis=-1)

@@ -379,6 +379,34 @@ nerf:
     assert img.shape == (25, 25, 3)
 
 
+def test_optimize_poses_cli(scene_config, tmp_path):
+    """optimize_poses.py demo mode: perturb the train split's cameras by a
+    known amount and refine them against the trained checkpoint; the
+    photometric loss must improve and the refined poses must be saved."""
+    cfg_path, logdir = scene_config
+    ckpt = os.path.join(logdir, "cli_e2e", "checkpoint00060.ntc")
+    if not os.path.exists(ckpt):
+        pytest.skip("train e2e test must run first (module-ordered)")
+    out_npz = str(tmp_path / "refined.npz")
+    out = run_cli(
+        "optimize_poses.py", "--config", cfg_path,
+        "--checkpoint", ckpt,
+        "--perturb-rot-deg", "3.0", "--perturb-trans", "0.05",
+        "--iters", "50", "--rays-per-image", "32", "--steps-per-loop", "25",
+        "--lr", "3e-3", "--save-poses", out_npz,
+    )
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["num_poses"] == 6
+    assert report["final_loss"] < report["initial_loss"]
+    assert abs(report["initial_rot_deg_mean"] - 3.0) < 1e-3
+    assert np.isfinite(report["final_rot_deg_mean"])
+    data = np.load(out_npz)
+    assert data["poses"].shape == (6, 3, 4)
+    assert data["xi"].shape == (6, 6)
+    # the optimizer actually moved the poses off their perturbed start
+    assert np.abs(data["xi"]).max() > 1e-4
+
+
 def test_latest_checkpoint_numeric_order(tmp_path):
     """checkpoint200000 must outrank checkpoint25000 (numeric, not lexical) —
     eval_multiscene/train_nerf resume both depend on this."""

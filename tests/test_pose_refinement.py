@@ -1,0 +1,161 @@
+"""Pose-refinement engine (engine/pose_opt.py): the working version of the
+reference's dead lieutils experiment (SURVEY.md §2.9).
+
+Covers the twist parameterization, the error metric, the known-magnitude
+perturbation helper, and the full jitted refinement loop: a frozen model's
+own renders are the targets, so recovering the true pose is the exact
+global minimum and convergence is a correctness property, not luck.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_tpu.data.poses import pose_spherical
+from nerf_tpu.engine import (
+    RenderSettings,
+    init_pose_opt_state,
+    make_photometric_loss_fn,
+    make_pose_opt_loop,
+    make_pose_opt_step,
+    perturb_poses,
+    pose_errors,
+    twists_to_poses,
+)
+from nerf_tpu.engine.pose_opt import as_homogeneous
+from nerf_tpu.engine.renderer import make_pose_render_fn
+from nerf_tpu.models import FlexibleNeRFModel
+
+import optax
+
+
+def _rotz(deg):
+    c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def test_zero_twists_reproduce_base_poses():
+    poses = jnp.stack(
+        [jnp.asarray(pose_spherical(t, -30.0, 4.0)[:3, :4]) for t in (0.0, 90.0)]
+    )
+    out = twists_to_poses(jnp.zeros((2, 6)), poses)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(poses))
+
+
+def test_pose_errors_known_transform():
+    base = np.eye(4)[:3, :4][None]
+    moved = base.copy()
+    moved[0, :3, :3] = _rotz(5.0)
+    moved[0, :3, 3] = [0.1, 0.0, 0.0]
+    err = pose_errors(jnp.asarray(moved), jnp.asarray(base))
+    np.testing.assert_allclose(float(err["rot_deg"][0]), 5.0, atol=1e-4)
+    np.testing.assert_allclose(float(err["trans"][0]), 0.1, atol=1e-6)
+
+
+def test_perturb_poses_has_requested_magnitude():
+    poses = jnp.stack(
+        [
+            jnp.asarray(pose_spherical(t, -25.0, 4.0)[:3, :4])
+            for t in (0.0, 120.0, -120.0)
+        ]
+    )
+    noisy = perturb_poses(poses, jax.random.PRNGKey(0), rot_deg=2.0, trans=0.05)
+    err = pose_errors(noisy, poses)
+    np.testing.assert_allclose(np.asarray(err["rot_deg"]), 2.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(err["trans"]), 0.05, atol=1e-4)
+
+
+def _tiny_setup(h=20, w=20, n_poses=2, num_fine=12):
+    """A tiny frozen model + its own renders as targets (self-consistent)."""
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=32, num_encoding_fn_xyz=4,
+        num_encoding_fn_dir=2, use_viewdirs=True,
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    # Random-init fields render near-empty (bench.py guard note); amplify
+    # weights + bias the density head so images carry pose information.
+    params = jax.tree.map(lambda x: x * 3.0, params)
+    params["fc_alpha"]["bias"] = params["fc_alpha"]["bias"] + 2.0
+    settings = RenderSettings(
+        num_coarse=12, num_fine=num_fine, perturb=False,
+        radiance_field_noise_std=0.0, white_background=False,
+        near=2.0, far=6.0, use_viewdirs=True,
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+    )
+    focal = 18.0
+    true_poses = jnp.stack(
+        [
+            jnp.asarray(pose_spherical(30.0 + 140.0 * i, -30.0, 4.0)[:3, :4],
+                        jnp.float32)
+            for i in range(n_poses)
+        ]
+    )
+    render = make_pose_render_fn(model, model, settings, h, w, focal,
+                                 output="f32")
+    images = jnp.stack([render(params, params, p) for p in true_poses])
+    return model, params, settings, true_poses, images, h, w, focal
+
+
+def test_exact_poses_are_a_fixed_point():
+    """Targets rendered from the SAME poses -> zero loss, zero gradient:
+    a refinement step must leave the twists at exactly zero. Coarse-only:
+    with a fine stage the coarse term has an irreducible residual against
+    fine-rendered targets (the training objective's usual shape), so only
+    the single-stage loss is exactly zero at the true pose."""
+    model, params, settings, poses, images, h, w, focal = _tiny_setup(
+        num_fine=0
+    )
+    # SGD, not Adam: Adam normalizes even the ~1e-7 float-noise gradient
+    # (chunked-vs-direct render reduction order) into an lr-sized step, so
+    # only a magnitude-proportional optimizer exposes the stationary point.
+    opt = optax.sgd(1e-2)
+    step = make_pose_opt_step(model, model, settings, h, w, focal, 32, opt)
+    state = init_pose_opt_state(poses.shape[0], opt)
+    new_state, loss = step(
+        state, as_homogeneous(poses), images, params, params,
+        jax.random.PRNGKey(0),
+    )
+    assert float(loss) < 1e-10
+    assert float(jnp.abs(new_state.xi).max()) < 1e-6
+
+
+def test_refinement_recovers_perturbed_poses():
+    """Perturb the cameras by 2 degrees / 0.04 units and recover them by
+    optimizing the photometric loss through the frozen renderer."""
+    model, params, settings, true_poses, images, h, w, focal = _tiny_setup()
+    noisy = perturb_poses(true_poses, jax.random.PRNGKey(7), 2.0, 0.04)
+    base44 = as_homogeneous(noisy)
+
+    opt = optax.adam(3e-3)
+    state = init_pose_opt_state(true_poses.shape[0], opt)
+    loop = make_pose_opt_loop(
+        model, model, settings, h, w, focal, 48, opt, steps_per_loop=40,
+    )
+    eval_loss = make_photometric_loss_fn(
+        model, model, settings, h, w, focal, 256
+    )
+    ekey = jax.random.PRNGKey(99)
+    initial = float(eval_loss(state.xi, base44, images, params, params, ekey))
+    for i in range(4):
+        state, _ = loop(state, base44, images, params, params,
+                        jax.random.PRNGKey(i))
+    final = float(eval_loss(state.xi, base44, images, params, params, ekey))
+    # The loss has an irreducible floor (the coarse term against
+    # fine-rendered targets); measure progress above that floor by
+    # evaluating at the exact ground-truth recovery.
+    from nerf_tpu.lie import se3_log
+
+    xi_true = jax.vmap(se3_log)(
+        as_homogeneous(true_poses) @ jnp.linalg.inv(base44)
+    )
+    floor = float(eval_loss(xi_true, base44, images, params, params, ekey))
+    assert final - floor < 0.25 * (initial - floor), (initial, final, floor)
+
+    before = pose_errors(noisy, true_poses)
+    after = pose_errors(twists_to_poses(state.xi, base44), true_poses)
+    assert float(after["rot_deg"].mean()) < 0.6 * float(
+        before["rot_deg"].mean()
+    ), (np.asarray(before["rot_deg"]), np.asarray(after["rot_deg"]))
+    assert float(after["trans"].mean()) < float(before["trans"].mean())
