@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_tpu.data.poses import pose_spherical
 from nerf_tpu.engine import (
@@ -121,6 +122,7 @@ def test_exact_poses_are_a_fixed_point():
     assert float(jnp.abs(new_state.xi).max()) < 1e-6
 
 
+@pytest.mark.slow  # ~30 s: 160 full refinement steps (CLI e2e re-covers this)
 def test_refinement_recovers_perturbed_poses():
     """Perturb the cameras by 2 degrees / 0.04 units and recover them by
     optimizing the photometric loss through the frozen renderer."""
