@@ -20,7 +20,7 @@ scalar loss cross the host<->device boundary per K steps.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +33,19 @@ Params = Dict[str, Any]
 
 
 class PoseOptState(NamedTuple):
-    """Twist parameters + their optimizer state (NeRF params stay frozen)."""
+    """Refined camera parameters + their optimizer state (NeRF params stay
+    frozen). ``log_focal`` is a shared log-scale intrinsics correction
+    (refined focal = focal * exp(log_focal)); it only moves when the loss was
+    built with ``refine_focal=True`` — otherwise its gradient is identically
+    zero and Adam leaves it at exactly 0."""
 
     xi: jnp.ndarray  # (N, 6) se(3) twists [v, omega], zeros = initial poses
+    log_focal: jnp.ndarray  # () shared focal correction, 0 = initial focal
     opt_state: Any
+
+    @property
+    def opt_params(self) -> Dict[str, jnp.ndarray]:
+        return {"xi": self.xi, "log_focal": self.log_focal}
 
 
 def as_homogeneous(poses: jnp.ndarray) -> jnp.ndarray:
@@ -130,22 +139,45 @@ def make_photometric_loss_fn(
     width: int,
     focal_length: float,
     rays_per_image: int,
+    refine_focal: bool = False,
 ):
-    """Build ``loss(xi, base_poses, images, params_coarse, params_fine, key)``.
+    """Build ``loss(opt_params, base_poses, images, params_coarse,
+    params_fine, key)`` where ``opt_params = {"xi": (N, 6), "log_focal": ()}``
+    (``PoseOptState.opt_params``).
 
-    The training objective restricted to pose variables: coarse MSE + fine
+    The training objective restricted to camera variables: coarse MSE + fine
     MSE (reference train_nerf.py:190-196) over ``rays_per_image`` pixels
     sampled per image with ``key``, so coarse and fine stages must both
     explain the image from the refined camera. With a fixed key it doubles
     as a deterministic before/after evaluation metric (optimize_poses.py).
+
+    ``refine_focal=True`` additionally differentiates through a shared
+    intrinsics correction (ray directions built from
+    ``focal * exp(log_focal)`` — self-calibration). Rejected for NDC scenes:
+    the static ``settings.focal_length`` is baked into the NDC projection
+    inside ``render_rays``, so a refined focal there would silently apply to
+    ray synthesis but not to the projection.
     """
+    if refine_focal and settings.use_ndc:
+        raise ValueError(
+            "refine_focal is not supported for NDC scenes: the NDC projection "
+            "uses the static settings.focal_length. Refine poses only, or "
+            "disable NDC."
+        )
     needs_rng = settings.perturb or settings.radiance_field_noise_std > 0.0
 
-    def photometric_loss(xi, base_poses, images, params_coarse, params_fine, key):
+    def photometric_loss(
+        opt_params, base_poses, images, params_coarse, params_fine, key
+    ):
         k_pix, k_render = jax.random.split(key)
-        poses34 = twists_to_poses(xi, base_poses)
+        poses34 = twists_to_poses(opt_params["xi"], base_poses)
+        focal = (
+            focal_length * jnp.exp(opt_params["log_focal"])
+            if refine_focal
+            else focal_length
+        )
         ro, rd, tgt = _sample_pixel_rays(
-            poses34, images, k_pix, height, width, focal_length, rays_per_image
+            poses34, images, k_pix, height, width, focal, rays_per_image
         )
         out = render_rays(
             model_coarse,
@@ -174,6 +206,7 @@ def make_pose_opt_step(
     focal_length: float,
     rays_per_image: int,
     optimizer: optax.GradientTransformation,
+    refine_focal: bool = False,
 ):
     """Build one jitted pose-refinement step.
 
@@ -188,17 +221,23 @@ def make_pose_opt_step(
     """
     photometric_loss = make_photometric_loss_fn(
         model_coarse, model_fine, settings, height, width, focal_length,
-        rays_per_image,
+        rays_per_image, refine_focal=refine_focal,
     )
 
     def step(state: PoseOptState, base_poses, images, params_coarse,
              params_fine, key):
         loss, grads = jax.value_and_grad(photometric_loss)(
-            state.xi, base_poses, images, params_coarse, params_fine, key
+            state.opt_params, base_poses, images, params_coarse, params_fine,
+            key,
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.xi)
-        xi = optax.apply_updates(state.xi, updates)
-        return PoseOptState(xi, opt_state), loss
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.opt_params
+        )
+        new_params = optax.apply_updates(state.opt_params, updates)
+        return (
+            PoseOptState(new_params["xi"], new_params["log_focal"], opt_state),
+            loss,
+        )
 
     return step
 
@@ -214,6 +253,7 @@ def make_pose_opt_loop(
     optimizer: optax.GradientTransformation,
     steps_per_loop: int,
     jit: bool = True,
+    refine_focal: bool = False,
 ):
     """K refinement steps in one ``lax.scan`` — one dispatch per K steps.
 
@@ -223,7 +263,7 @@ def make_pose_opt_loop(
     """
     step = make_pose_opt_step(
         model_coarse, model_fine, settings, height, width, focal_length,
-        rays_per_image, optimizer,
+        rays_per_image, optimizer, refine_focal=refine_focal,
     )
 
     def loop(state, base_poses, images, params_coarse, params_fine, base_key):
@@ -242,9 +282,15 @@ def make_pose_opt_loop(
 def init_pose_opt_state(
     num_poses: int, optimizer: optax.GradientTransformation
 ) -> PoseOptState:
-    """Zero twists (= the initial poses) + fresh optimizer state."""
-    xi = jnp.zeros((num_poses, 6), jnp.float32)
-    return PoseOptState(xi, optimizer.init(xi))
+    """Zero twists + zero focal correction (= the initial cameras) + fresh
+    optimizer state over both."""
+    params = {
+        "xi": jnp.zeros((num_poses, 6), jnp.float32),
+        "log_focal": jnp.zeros((), jnp.float32),
+    }
+    return PoseOptState(
+        params["xi"], params["log_focal"], optimizer.init(params)
+    )
 
 
 def perturb_poses(

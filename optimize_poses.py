@@ -141,6 +141,18 @@ def main():
         help="Demo mode: translate every pose by this distance in a random "
              "direction before refining.",
     )
+    parser.add_argument(
+        "--refine-focal", action="store_true",
+        help="Jointly refine a shared focal-length correction "
+             "(focal * exp(log_focal)) — self-calibration. Non-NDC scenes "
+             "only.",
+    )
+    parser.add_argument(
+        "--perturb-focal", type=float, default=1.0,
+        help="Demo mode: multiply the assumed focal by this factor before "
+             "refining (use with --refine-focal; recovery should find "
+             "exp(log_focal) ~= 1/factor).",
+    )
     parser.add_argument("--perturb-seed", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -175,6 +187,15 @@ def main():
         compute_dtype="float32",
     )
 
+    true_focal = focal
+    if args.perturb_focal != 1.0:
+        if not args.refine_focal:
+            parser.error("--perturb-focal requires --refine-focal")
+        # The optimizer is told the wrong focal; targets reflect the true one.
+        focal = focal * args.perturb_focal
+        print(f"perturbed focal: {focal:.2f} (true {true_focal:.2f})",
+              flush=True)
+
     true_poses = jnp.asarray(poses, jnp.float32)
     if args.perturb_rot_deg > 0.0 or args.perturb_trans > 0.0:
         base34 = perturb_poses(
@@ -195,18 +216,21 @@ def main():
     loop = make_pose_opt_loop(
         model_coarse, model_fine, settings, h, w, focal,
         args.rays_per_image, optimizer, args.steps_per_loop,
+        refine_focal=args.refine_focal,
     )
     # Fixed-key evaluation: the SAME pixel sample before and after, so the
-    # reported improvement is pose movement, not sampling luck.
+    # reported improvement is camera movement, not sampling luck.
     eval_loss = jax.jit(
         make_photometric_loss_fn(
             model_coarse, model_fine, settings, h, w, focal,
             max(args.rays_per_image, 256),
+            refine_focal=args.refine_focal,
         )
     )
     eval_key = jax.random.PRNGKey(10_000 + args.seed)
     initial_loss = float(
-        eval_loss(state.xi, base44, images, params_coarse, params_fine, eval_key)
+        eval_loss(state.opt_params, base44, images, params_coarse,
+                  params_fine, eval_key)
     )
 
     t0 = time.time()
@@ -222,7 +246,8 @@ def main():
             flush=True,
         )
     final_loss = float(
-        eval_loss(state.xi, base44, images, params_coarse, params_fine, eval_key)
+        eval_loss(state.opt_params, base44, images, params_coarse,
+                  params_fine, eval_key)
     )
 
     refined = twists_to_poses(state.xi, base44)
@@ -233,6 +258,16 @@ def main():
         "final_loss": final_loss,
         "wall_s": round(time.time() - t0, 1),
     }
+    if args.refine_focal:
+        refined_focal = focal * float(np.exp(state.log_focal))
+        report.update(
+            initial_focal=focal,
+            refined_focal=refined_focal,
+            true_focal=true_focal,
+            focal_error_pct=round(
+                100.0 * abs(refined_focal - true_focal) / true_focal, 3
+            ),
+        )
     if ground_truth_known:
         before = {k: np.asarray(v) for k, v in
                   pose_errors(base34, true_poses).items()}
@@ -252,6 +287,7 @@ def main():
             args.save_poses,
             poses=np.asarray(refined),
             xi=np.asarray(state.xi),
+            log_focal=np.asarray(state.log_focal),
             base_poses=np.asarray(base34),
         )
         report["saved"] = args.save_poses

@@ -139,11 +139,15 @@ def test_refinement_recovers_perturbed_poses():
         model, model, settings, h, w, focal, 256
     )
     ekey = jax.random.PRNGKey(99)
-    initial = float(eval_loss(state.xi, base44, images, params, params, ekey))
+    initial = float(
+        eval_loss(state.opt_params, base44, images, params, params, ekey)
+    )
     for i in range(4):
         state, _ = loop(state, base44, images, params, params,
                         jax.random.PRNGKey(i))
-    final = float(eval_loss(state.xi, base44, images, params, params, ekey))
+    final = float(
+        eval_loss(state.opt_params, base44, images, params, params, ekey)
+    )
     # The loss has an irreducible floor (the coarse term against
     # fine-rendered targets); measure progress above that floor by
     # evaluating at the exact ground-truth recovery.
@@ -152,7 +156,12 @@ def test_refinement_recovers_perturbed_poses():
     xi_true = jax.vmap(se3_log)(
         as_homogeneous(true_poses) @ jnp.linalg.inv(base44)
     )
-    floor = float(eval_loss(xi_true, base44, images, params, params, ekey))
+    floor = float(
+        eval_loss(
+            {"xi": xi_true, "log_focal": jnp.zeros(())},
+            base44, images, params, params, ekey,
+        )
+    )
     assert final - floor < 0.25 * (initial - floor), (initial, final, floor)
 
     before = pose_errors(noisy, true_poses)
@@ -161,3 +170,55 @@ def test_refinement_recovers_perturbed_poses():
         before["rot_deg"].mean()
     ), (np.asarray(before["rot_deg"]), np.asarray(after["rot_deg"]))
     assert float(after["trans"].mean()) < float(before["trans"].mean())
+
+
+def test_focal_stays_frozen_without_flag():
+    """With refine_focal off (default), log_focal has no gradient path, so
+    Adam must leave it at exactly 0 even while the twists move."""
+    model, params, settings, poses, images, h, w, focal = _tiny_setup(
+        num_fine=0
+    )
+    noisy = perturb_poses(poses, jax.random.PRNGKey(1), 1.0, 0.02)
+    opt = optax.adam(1e-3)
+    step = make_pose_opt_step(model, model, settings, h, w, focal, 32, opt)
+    state = init_pose_opt_state(poses.shape[0], opt)
+    for i in range(3):
+        state, _ = step(state, as_homogeneous(noisy), images, params, params,
+                        jax.random.PRNGKey(i))
+    assert float(jnp.abs(state.xi).max()) > 0.0  # twists moved
+    assert float(state.log_focal) == 0.0  # intrinsics did not
+
+
+def test_refine_focal_rejected_for_ndc():
+    model, params, settings, poses, images, h, w, focal = _tiny_setup(
+        num_fine=0
+    )
+    ndc_settings = dataclasses.replace(settings, use_ndc=True)
+    with pytest.raises(ValueError, match="NDC"):
+        make_photometric_loss_fn(
+            model, model, ndc_settings, h, w, focal, 32, refine_focal=True
+        )
+
+
+@pytest.mark.slow  # ~25 s: a full joint xi+focal optimization loop
+def test_focal_refinement_recovers_scale():
+    """Targets rendered with the true focal; the optimizer is told focal*1.08
+    and must recover the shared intrinsics correction (self-calibration).
+    Coarse-only so the true camera is the exact global minimum."""
+    model, params, settings, poses, images, h, w, true_focal = _tiny_setup(
+        num_fine=0
+    )
+    wrong_focal = true_focal * 1.08
+    opt = optax.adam(3e-3)
+    state = init_pose_opt_state(poses.shape[0], opt)
+    loop = make_pose_opt_loop(
+        model, model, settings, h, w, wrong_focal, 64, opt,
+        steps_per_loop=50, refine_focal=True,
+    )
+    for i in range(4):
+        state, losses = loop(state, as_homogeneous(poses), images, params,
+                             params, jax.random.PRNGKey(i))
+    refined_focal = wrong_focal * float(jnp.exp(state.log_focal))
+    initial_err = abs(wrong_focal - true_focal) / true_focal  # 8%
+    final_err = abs(refined_focal - true_focal) / true_focal
+    assert final_err < 0.5 * initial_err, (wrong_focal, refined_focal)
