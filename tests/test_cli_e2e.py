@@ -407,6 +407,34 @@ def test_optimize_poses_cli(scene_config, tmp_path):
     assert np.abs(data["xi"]).max() > 1e-4
 
 
+@pytest.mark.skipif(not os.path.exists(FERN_CKPT), reason="pretrained absent")
+def test_optimize_poses_llff_ndc_cli(tmp_path):
+    """optimize_poses.py LLFF/NDC branch: distill a tiny fern dataset from
+    the reference checkpoint, then refine perturbed cameras against that same
+    checkpoint — pose gradients flow through the NDC projection
+    (render_rays applies ndc_rays inside the differentiated program)."""
+    outdir = str(tmp_path / "fern_tiny")
+    run_cli(
+        "distill_dataset.py", "--config", "configs/fern_lowres.yml",
+        "--checkpoint", FERN_CKPT, "--savedir", outdir,
+        "--num-train", "5", "--num-val", "1", "--size", "63",
+    )
+    out = run_cli(
+        "optimize_poses.py", "--config", "configs/fern_lowres.yml",
+        "--overrides", "dataset.basedir", outdir,
+        "dataset.downsample_factor", "1",
+        "--checkpoint", FERN_CKPT,
+        "--perturb-rot-deg", "1.0", "--perturb-trans", "0.01",
+        "--iters", "40", "--rays-per-image", "32", "--steps-per-loop", "20",
+        "--lr", "2e-3",
+    )
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["num_poses"] == 5  # llffhold=8 over 6 views holds out [0]
+    assert report["final_loss"] < report["initial_loss"]
+    assert abs(report["initial_rot_deg_mean"] - 1.0) < 1e-3
+    assert report["final_rot_deg_mean"] < report["initial_rot_deg_mean"]
+
+
 def test_latest_checkpoint_numeric_order(tmp_path):
     """checkpoint200000 must outrank checkpoint25000 (numeric, not lexical) —
     eval_multiscene/train_nerf resume both depend on this."""
