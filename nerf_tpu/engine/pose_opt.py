@@ -96,8 +96,9 @@ def _sample_pixel_rays(
     key: jax.Array,
     height: int,
     width: int,
-    focal_length: float,
+    focal_length,
     rays_per_image: int,
+    image_index_offset=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample ``rays_per_image`` random pixels from EVERY image and build
     their world-frame rays from the current (differentiable) poses.
@@ -106,9 +107,16 @@ def _sample_pixel_rays(
     camera convention (ops/rays.py:24-58; reference nerf_helpers.py:89-110)
     — only R rays per image are materialized, never the full H*W bundle.
     Returns flat (N*R, 3) origins/directions/targets.
+
+    Per-image randomness is keyed by GLOBAL image index
+    (``fold_in(key, image_index_offset + i)``), so a shard holding images
+    [offset, offset+n) reproduces exactly the serial sampling stream for its
+    slice (parallel/pose_dp.py passes the shard offset).
     """
     n = images.shape[0]
-    keys = jax.random.split(key, n)
+    keys = jax.vmap(
+        lambda i: jax.random.fold_in(key, i)
+    )(image_index_offset + jnp.arange(n))
 
     def per_image(pose, img, k):
         idx = jax.random.randint(k, (rays_per_image,), 0, height * width)
@@ -167,7 +175,8 @@ def make_photometric_loss_fn(
     needs_rng = settings.perturb or settings.radiance_field_noise_std > 0.0
 
     def photometric_loss(
-        opt_params, base_poses, images, params_coarse, params_fine, key
+        opt_params, base_poses, images, params_coarse, params_fine, key,
+        image_index_offset=0,
     ):
         k_pix, k_render = jax.random.split(key)
         poses34 = twists_to_poses(opt_params["xi"], base_poses)
@@ -177,7 +186,8 @@ def make_photometric_loss_fn(
             else focal_length
         )
         ro, rd, tgt = _sample_pixel_rays(
-            poses34, images, k_pix, height, width, focal, rays_per_image
+            poses34, images, k_pix, height, width, focal, rays_per_image,
+            image_index_offset,
         )
         out = render_rays(
             model_coarse,

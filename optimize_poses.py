@@ -213,11 +213,39 @@ def main():
 
     optimizer = optax.adam(args.lr)
     state = init_pose_opt_state(n, optimizer)
-    loop = make_pose_opt_loop(
-        model_coarse, model_fine, settings, h, w, focal,
-        args.rays_per_image, optimizer, args.steps_per_loop,
-        refine_focal=args.refine_focal,
-    )
+    loop_base44, loop_images = base44, images
+    loop_pc, loop_pf = params_coarse, params_fine
+    num_devices = len(jax.devices())
+    if num_devices > 1 and n % num_devices == 0:
+        # Same trajectory as serial (tests/test_pose_dp.py), images sharded
+        # over the mesh; camera params replicated, one pmean per step.
+        from nerf_tpu.parallel import (
+            make_mesh, make_parallel_pose_opt_loop, replicate_tree,
+            shard_batch,
+        )
+
+        mesh = make_mesh()
+        loop = make_parallel_pose_opt_loop(
+            model_coarse, model_fine, settings, h, w, focal,
+            args.rays_per_image, optimizer, args.steps_per_loop,
+            mesh=mesh, num_images=n, refine_focal=args.refine_focal,
+        )
+        state = replicate_tree(mesh, state)
+        loop_base44, loop_images = shard_batch(mesh, base44, images)
+        loop_pc = replicate_tree(mesh, params_coarse)
+        loop_pf = replicate_tree(mesh, params_fine)
+        print(f"data-parallel over {num_devices} devices", flush=True)
+    else:
+        if num_devices > 1:
+            print(
+                f"serial fallback: {n} images not divisible by "
+                f"{num_devices} devices", flush=True,
+            )
+        loop = make_pose_opt_loop(
+            model_coarse, model_fine, settings, h, w, focal,
+            args.rays_per_image, optimizer, args.steps_per_loop,
+            refine_focal=args.refine_focal,
+        )
     # Fixed-key evaluation: the SAME pixel sample before and after, so the
     # reported improvement is camera movement, not sampling luck.
     eval_loss = jax.jit(
@@ -237,7 +265,7 @@ def main():
     num_loops = max(1, -(-args.iters // args.steps_per_loop))
     for i in range(num_loops):
         state, losses = loop(
-            state, base44, images, params_coarse, params_fine,
+            state, loop_base44, loop_images, loop_pc, loop_pf,
             jax.random.fold_in(jax.random.PRNGKey(args.seed), i),
         )
         print(

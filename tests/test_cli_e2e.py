@@ -34,11 +34,15 @@ runpy.run_path(sys.argv[0], run_name="__main__")
 """
 
 
-def run_cli(script: str, *args: str, timeout: int = 600) -> str:
-    """Run a repo CLI in a CPU-forced subprocess; returns stdout."""
+def run_cli(script: str, *args: str, timeout: int = 600, env=None) -> str:
+    """Run a repo CLI in a CPU-forced subprocess; returns stdout.
+
+    ``env`` entries overlay os.environ (e.g. XLA_FLAGS for a virtual
+    multi-device CPU mesh)."""
     cmd = [sys.executable, "-c", _LAUNCHER, os.path.join(REPO, script), *args]
     proc = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO,
+        env={**os.environ, **env} if env else None,
     )
     assert proc.returncode == 0, (
         f"{script} {' '.join(args)} failed rc={proc.returncode}\n"
@@ -405,6 +409,28 @@ def test_optimize_poses_cli(scene_config, tmp_path):
     assert data["xi"].shape == (6, 6)
     # the optimizer actually moved the poses off their perturbed start
     assert np.abs(data["xi"]).max() > 1e-4
+
+
+def test_optimize_poses_cli_data_parallel(scene_config):
+    """The CLI auto-shards over a multi-device backend: on a 2-virtual-device
+    CPU mesh the 6 train images split 3/3 (parallel/pose_dp.py) and the
+    refinement still improves the photometric loss. Trajectory equality with
+    serial is asserted at the engine level (tests/test_pose_dp.py)."""
+    cfg_path, logdir = scene_config
+    ckpt = os.path.join(logdir, "cli_e2e", "checkpoint00060.ntc")
+    if not os.path.exists(ckpt):
+        pytest.skip("train e2e test must run first (module-ordered)")
+    out = run_cli(
+        "optimize_poses.py", "--config", cfg_path,
+        "--checkpoint", ckpt,
+        "--perturb-rot-deg", "2.0", "--perturb-trans", "0.03",
+        "--iters", "40", "--rays-per-image", "32", "--steps-per-loop", "20",
+        "--lr", "3e-3",
+        env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    assert "data-parallel over 2 devices" in out
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["final_loss"] < report["initial_loss"]
 
 
 @pytest.mark.skipif(not os.path.exists(FERN_CKPT), reason="pretrained absent")
