@@ -303,6 +303,154 @@ def init_pose_opt_state(
     )
 
 
+def align_poses_umeyama(
+    poses_a: jnp.ndarray, poses_b: jnp.ndarray, with_scale: bool = True
+) -> jnp.ndarray:
+    """Gauge-align camera set ``a`` to ``b`` with one global Sim(3)/SE(3).
+
+    Joint scene+camera optimization has a gauge freedom: a rigid (plus
+    scale) transform applied to every camera AND the scene leaves the
+    photometric loss unchanged, so raw pose error against ground truth is
+    meaningless after joint training. This solves the Umeyama similarity
+    ``min_{s,R,t} sum_i ||s R c_a_i + t - c_b_i||^2`` over the camera
+    CENTERS in closed form (SVD) and applies ``(s, R, t)`` to ``a``'s poses
+    (the one global R also rotates the orientations); errors of the aligned
+    set against ``b`` are then gauge-invariant.
+
+    Args: (N, 3, 4)-or-(N, 4, 4) camera-to-world pose sets, N >= 3.
+    Returns: aligned copy of ``poses_a``, shape (N, 3, 4).
+    """
+    ca, cb = poses_a[..., :3, 3], poses_b[..., :3, 3]
+    mu_a, mu_b = ca.mean(0), cb.mean(0)
+    da, db = ca - mu_a, cb - mu_b
+    cov = db.T @ da / ca.shape[0]
+    u, s, vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(u @ vt))
+    flip = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * d
+    R = (u * flip) @ vt
+    if with_scale:
+        var_a = (da**2).sum() / ca.shape[0]
+        scale = (s * flip).sum() / var_a
+    else:
+        scale = jnp.float32(1.0)
+    t = mu_b - scale * (R @ mu_a)
+    new_R = R @ poses_a[..., :3, :3]
+    new_c = scale * (ca @ R.T) + t
+    return jnp.concatenate([new_R, new_c[..., :, None]], axis=-1)
+
+
+class JointTrainState(NamedTuple):
+    """NeRF params + camera params, each with its own optimizer state."""
+
+    params_coarse: Params
+    params_fine: Any  # Params or None (single-stage)
+    nerf_opt_state: Any
+    pose: PoseOptState
+
+
+def init_joint_train_state(
+    model_coarse,
+    model_fine,
+    key: jax.Array,
+    num_poses: int,
+    nerf_optimizer: optax.GradientTransformation,
+    pose_optimizer: optax.GradientTransformation,
+) -> JointTrainState:
+    kc, kf = jax.random.split(key)
+    params_coarse = model_coarse.init(kc)
+    params_fine = model_fine.init(kf) if model_fine is not None else None
+    trainable = {"coarse": params_coarse}
+    if params_fine is not None:
+        trainable["fine"] = params_fine
+    return JointTrainState(
+        params_coarse,
+        params_fine,
+        nerf_optimizer.init(trainable),
+        init_pose_opt_state(num_poses, pose_optimizer),
+    )
+
+
+def make_joint_train_loop(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    height: int,
+    width: int,
+    focal_length: float,
+    rays_per_image: int,
+    nerf_optimizer: optax.GradientTransformation,
+    pose_optimizer: optax.GradientTransformation,
+    steps_per_loop: int,
+    refine_focal: bool = False,
+    anchor_first: bool = True,
+    jit: bool = True,
+):
+    """Joint NeRF + camera training (the BARF/NeRF-- problem setting): the
+    scene and the cameras that observed it are optimized simultaneously,
+    so a NeRF can be trained from scratch with miscalibrated poses.
+
+    One ``jax.value_and_grad`` differentiates the shared photometric loss
+    with respect to BOTH pytrees; the NeRF params take the ``nerf_optimizer``
+    update (typically the config's Adam + lr schedule) and the camera params
+    (twists + optional log-focal) take the usually-slower ``pose_optimizer``.
+    K steps run per dispatch via ``lax.scan`` exactly like the frozen-model
+    refinement loop and the production trainer.
+
+    ``anchor_first`` pins camera 0 (its twist gradient is masked to zero),
+    removing most of the rigid gauge freedom — without an anchor the scene
+    and ALL cameras drift together and only gauge-aligned errors
+    (``align_poses_umeyama``) are meaningful.
+
+    ``loop(state, base_poses (N,4,4), images, base_key)
+    -> (new_state, losses[K])``.
+    """
+    loss_fn = make_photometric_loss_fn(
+        model_coarse, model_fine, settings, height, width, focal_length,
+        rays_per_image, refine_focal=refine_focal,
+    )
+
+    def loop(state: JointTrainState, base_poses, images, base_key):
+        def body(carry: JointTrainState, i):
+            key = jax.random.fold_in(base_key, i)
+            trainable = {"coarse": carry.params_coarse}
+            if carry.params_fine is not None:
+                trainable["fine"] = carry.params_fine
+
+            def full_loss(opt_params, nerf_params):
+                return loss_fn(
+                    opt_params, base_poses, images, nerf_params["coarse"],
+                    nerf_params.get("fine"), key,
+                )
+
+            loss, (g_pose, g_nerf) = jax.value_and_grad(
+                full_loss, argnums=(0, 1)
+            )(carry.pose.opt_params, trainable)
+            if anchor_first:
+                g_pose = {**g_pose, "xi": g_pose["xi"].at[0].set(0.0)}
+
+            nerf_updates, nerf_opt_state = nerf_optimizer.update(
+                g_nerf, carry.nerf_opt_state, trainable
+            )
+            new_nerf = optax.apply_updates(trainable, nerf_updates)
+            pose_updates, pose_opt_state = pose_optimizer.update(
+                g_pose, carry.pose.opt_state, carry.pose.opt_params
+            )
+            new_pose = optax.apply_updates(carry.pose.opt_params, pose_updates)
+
+            return JointTrainState(
+                new_nerf["coarse"],
+                new_nerf.get("fine"),
+                nerf_opt_state,
+                PoseOptState(
+                    new_pose["xi"], new_pose["log_focal"], pose_opt_state
+                ),
+            ), loss
+
+        return jax.lax.scan(body, state, jnp.arange(steps_per_loop))
+
+    return jax.jit(loop) if jit else loop
+
+
 def perturb_poses(
     poses: jnp.ndarray,
     key: jax.Array,

@@ -72,6 +72,11 @@ class RenderSettings:
     include_input_dir: bool = True
     log_sampling_xyz: bool = True
     log_sampling_dir: bool = True
+    # Coarse-to-fine encoding annealing (BARF eq. 14) for joint pose+scene
+    # optimization: xyz band k is windowed by ops.encoding
+    # .coarse_to_fine_window(alpha). Negative = off (the production render
+    # and training paths). Static -> folds into constants per compile.
+    pe_alpha_xyz: float = -1.0
     # Use the fused Pallas encode+MLP kernel for radiance-field evaluation
     # (forward-only — rendering/eval; training autodiffs the XLA path).
     # Silently falls back to XLA when the model shape isn't the fusable
@@ -149,6 +154,18 @@ def encode_points(
     enc = positional_encoding(
         pts, s.num_encoding_fn_xyz, s.include_input_xyz, s.log_sampling_xyz
     )
+    if s.pe_alpha_xyz >= 0.0 and s.num_encoding_fn_xyz > 0:
+        from ..ops.encoding import coarse_to_fine_window
+
+        w = coarse_to_fine_window(
+            s.num_encoding_fn_xyz, s.pe_alpha_xyz, enc.dtype
+        )
+        c = pts.shape[-1]
+        mask = jnp.concatenate([
+            jnp.ones(c if s.include_input_xyz else 0, enc.dtype),
+            jnp.repeat(w, 2 * c),  # per-freq [sin(C), cos(C)] blocks
+        ])
+        enc = enc * mask
     if viewdirs is not None:
         enc_dir = positional_encoding(
             viewdirs, s.num_encoding_fn_dir, s.include_input_dir, s.log_sampling_dir
@@ -163,7 +180,10 @@ def encode_points(
 def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     """Evaluate the radiance field at sample points: fused Pallas kernel when
     enabled + applicable, else positional-encode + MLP apply via XLA."""
-    if s.use_pallas and viewdirs is not None and s.log_sampling_xyz and s.log_sampling_dir:
+    # pe_alpha annealing is XLA-path only (the fused kernel computes its own
+    # unwindowed encoding in-register).
+    if (s.use_pallas and viewdirs is not None and s.log_sampling_xyz
+            and s.log_sampling_dir and s.pe_alpha_xyz < 0.0):
         from ..ops.pallas.mlp import supports_fused
         from ..ops.pallas.mlp_t import fused_mlp_t
 

@@ -86,3 +86,23 @@ def get_embedding_function(
         include_input=include_input,
         log_sampling=log_sampling,
     )
+
+
+def coarse_to_fine_window(
+    num_encoding_functions: int, alpha: float, dtype=jnp.float32
+) -> jnp.ndarray:
+    """BARF-style per-frequency window for coarse-to-fine encoding annealing
+    (Lin et al., "BARF: Bundle-Adjusting Neural Radiance Fields", eq. 14).
+
+    Band k gets weight 0 while ``alpha < k``, 1 once ``alpha >= k + 1`` and a
+    smooth cosine ramp in between; ``alpha`` runs 0 -> num_encoding_functions
+    over the anneal schedule. Joint pose+scene optimization needs this:
+    with all bands active from step 0 the scene's high frequencies absorb the
+    camera error (the photometric loss collapses while the poses stay wrong);
+    windowed low-to-high activation keeps the early loss landscape smooth in
+    the pose variables. ``alpha`` is STATIC (baked per compile), so the
+    window folds into the encoding constants at zero runtime cost.
+    """
+    k = jnp.arange(num_encoding_functions, dtype=dtype)
+    x = jnp.clip(alpha - k, 0.0, 1.0)
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * x))

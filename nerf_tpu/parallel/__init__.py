@@ -8,7 +8,7 @@ from .dp import (
     make_parallel_train_loop,
     make_parallel_train_step,
 )
-from .pose_dp import make_parallel_pose_opt_loop
+from .pose_dp import make_parallel_joint_train_loop, make_parallel_pose_opt_loop
 from .mesh import (
     DATA_AXIS,
     data_sharding,
@@ -33,5 +33,6 @@ __all__ = [
     "make_parallel_render_fn",
     "make_parallel_train_loop",
     "make_parallel_train_step",
+    "make_parallel_joint_train_loop",
     "make_parallel_pose_opt_loop",
 ]

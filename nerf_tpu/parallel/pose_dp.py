@@ -33,7 +33,11 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine.pose_opt import PoseOptState, make_photometric_loss_fn
+from ..engine.pose_opt import (
+    JointTrainState,
+    PoseOptState,
+    make_photometric_loss_fn,
+)
 from ..engine.renderer import RenderSettings
 from .mesh import DATA_AXIS
 
@@ -120,6 +124,115 @@ def make_parallel_pose_opt_loop(
         shard_loop,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_parallel_joint_train_loop(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    height: int,
+    width: int,
+    focal_length: float,
+    rays_per_image: int,
+    nerf_optimizer: optax.GradientTransformation,
+    pose_optimizer: optax.GradientTransformation,
+    steps_per_loop: int,
+    mesh: Mesh,
+    num_images: int,
+    axis: str = DATA_AXIS,
+    refine_focal: bool = False,
+    anchor_first: bool = True,
+):
+    """Sharded joint NeRF + camera training (the DP form of
+    ``engine.pose_opt.make_joint_train_loop``).
+
+    Images and base poses shard across the mesh; the NeRF params, the camera
+    params, and BOTH optimizer states stay replicated. Each device
+    differentiates its shard's photometric loss with respect to both pytrees
+    in one backward, then a single ``pmean`` per pytree assembles the global
+    gradients over ICI: the NeRF gradient genuinely averages across shards
+    (every shard's rays hit the shared scene), while each twist row is
+    non-zero on exactly one shard (pmean = the serial global-mean factor),
+    exactly like the frozen-model loop above. The replicated updates then
+    apply identically everywhere — no parameter resharding, ever.
+
+    ``loop(state: JointTrainState, base_poses (N,4,4), images, base_key)
+    -> (new_state, losses[K])`` with ``base_poses``/``images`` sharded on
+    axis 0 and ``num_images`` divisible by the mesh's data-axis size. Same
+    key schedule as the serial joint loop; trajectory-equality (up to float
+    reduction order, deterministic settings) is asserted by
+    ``tests/test_pose_dp.py``.
+    """
+    n_dev = mesh.shape[axis]
+    if num_images % n_dev != 0:
+        raise ValueError(
+            f"num_images {num_images} not divisible by mesh axis {n_dev}"
+        )
+    local_n = num_images // n_dev
+
+    loss_fn = make_photometric_loss_fn(
+        model_coarse, model_fine, settings, height, width, focal_length,
+        rays_per_image, refine_focal=refine_focal,
+    )
+
+    def local_loss(opt_params, nerf_params, base44, images, key, offset):
+        local_params = {
+            "xi": jax.lax.dynamic_slice_in_dim(
+                opt_params["xi"], offset, local_n
+            ),
+            "log_focal": opt_params["log_focal"],
+        }
+        return loss_fn(
+            local_params, base44, images, nerf_params["coarse"],
+            nerf_params.get("fine"), key, image_index_offset=offset,
+        )
+
+    def shard_loop(state: JointTrainState, base44, images, base_key):
+        offset = jax.lax.axis_index(axis) * local_n
+
+        def body(carry: JointTrainState, i):
+            key = jax.random.fold_in(base_key, i)
+            trainable = {"coarse": carry.params_coarse}
+            if carry.params_fine is not None:
+                trainable["fine"] = carry.params_fine
+
+            loss, (g_pose, g_nerf) = jax.value_and_grad(
+                local_loss, argnums=(0, 1)
+            )(carry.pose.opt_params, trainable, base44, images, key, offset)
+            g_pose = jax.lax.pmean(g_pose, axis)
+            g_nerf = jax.lax.pmean(g_nerf, axis)
+            loss = jax.lax.pmean(loss, axis)
+            if anchor_first:
+                g_pose = {**g_pose, "xi": g_pose["xi"].at[0].set(0.0)}
+
+            nerf_updates, nerf_opt_state = nerf_optimizer.update(
+                g_nerf, carry.nerf_opt_state, trainable
+            )
+            new_nerf = optax.apply_updates(trainable, nerf_updates)
+            pose_updates, pose_opt_state = pose_optimizer.update(
+                g_pose, carry.pose.opt_state, carry.pose.opt_params
+            )
+            new_pose = optax.apply_updates(carry.pose.opt_params, pose_updates)
+
+            return JointTrainState(
+                new_nerf["coarse"],
+                new_nerf.get("fine"),
+                nerf_opt_state,
+                PoseOptState(
+                    new_pose["xi"], new_pose["log_focal"], pose_opt_state
+                ),
+            ), loss
+
+        return jax.lax.scan(body, state, jnp.arange(steps_per_loop))
+
+    sharded = jax.shard_map(
+        shard_loop,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

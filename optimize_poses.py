@@ -113,7 +113,34 @@ def load_split_images_and_poses(cfg, split: str):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument(
+        "--checkpoint", type=str, default="",
+        help="Trained checkpoint to refine against (required unless "
+             "--joint-train, where it optionally seeds the NeRF params).",
+    )
+    parser.add_argument(
+        "--joint-train", action="store_true",
+        help="BARF/NeRF-- mode: train the NeRF params JOINTLY with the "
+             "camera refinement (from scratch, or finetuning --checkpoint) "
+             "instead of keeping them frozen.",
+    )
+    parser.add_argument(
+        "--nerf-lr", type=float, default=0.0,
+        help="NeRF-param learning rate for --joint-train "
+             "(0 = the config's optimizer.lr).",
+    )
+    parser.add_argument(
+        "--save-checkpoint", type=str, default="",
+        help="Write the jointly-trained NeRF to this .ntc "
+             "(--joint-train only).",
+    )
+    parser.add_argument(
+        "--anneal-iters", type=int, default=-1,
+        help="Coarse-to-fine encoding annealing horizon for --joint-train "
+             "(BARF eq. 14): xyz frequency bands ramp in linearly over this "
+             "many iters. -1 = iters/2 (default), 0 = disabled. Each "
+             "quantized alpha value compiles its own loop program.",
+    )
     parser.add_argument(
         "--split", choices=["train", "val", "test"], default="train"
     )
@@ -123,6 +150,12 @@ def main():
         help="Pixels sampled from EVERY image per step.",
     )
     parser.add_argument("--lr", type=float, default=1.0e-3)
+    parser.add_argument(
+        "--lr-final", type=float, default=0.0,
+        help="Exponentially decay the camera lr from --lr to this value "
+             "over --iters (0 = constant). Joint training wants a decayed "
+             "camera lr (the BARF protocol's 1e-3 -> 1e-5).",
+    )
     parser.add_argument(
         "--steps-per-loop", type=int, default=25,
         help="Refinement steps per device dispatch (lax.scan length).",
@@ -173,9 +206,22 @@ def main():
     print(f"refining {n} {args.split} poses at {h}x{w} (focal {focal:.1f})",
           flush=True)
 
-    model_coarse, model_fine, params_coarse, params_fine, _ = (
-        load_models_and_params(args.checkpoint, cfg)
-    )
+    if args.checkpoint:
+        model_coarse, model_fine, params_coarse, params_fine, _ = (
+            load_models_and_params(args.checkpoint, cfg)
+        )
+    elif args.joint_train:
+        # From-scratch joint training: build fresh models from the config.
+        from nerf_tpu.config.schema import model_from_config
+
+        model_coarse = model_from_config(cfg.models.coarse)
+        model_fine = (
+            model_from_config(cfg.models.fine)
+            if "fine" in cfg.models else None
+        )
+        params_coarse = params_fine = None
+    else:
+        parser.error("--checkpoint is required unless --joint-train")
 
     # Deterministic float32 XLA settings: the Pallas kernel is forward-only,
     # and z-perturbation/noise would only add variance to the pose gradient.
@@ -183,6 +229,14 @@ def main():
         render_settings_from_config(
             cfg, "validation", hwf=(h, w, focal)
         ).eval_variant(),
+        use_pallas=False,
+        compute_dtype="float32",
+    )
+    # Joint training keeps the TRAIN stage's stochasticity: sigma noise is
+    # load-bearing against the white-background empty-scene collapse
+    # (reference train_nerf.py:190-196 protocol; docs/PARITY.md).
+    train_settings = dataclasses.replace(
+        render_settings_from_config(cfg, "train", hwf=(h, w, focal)),
         use_pallas=False,
         compute_dtype="float32",
     )
@@ -211,12 +265,96 @@ def main():
     base44 = as_homogeneous(base34)
     images = jnp.asarray(images, jnp.float32)
 
-    optimizer = optax.adam(args.lr)
-    state = init_pose_opt_state(n, optimizer)
+    if args.lr_final > 0:
+        optimizer = optax.adam(
+            optax.exponential_decay(
+                args.lr, args.iters, args.lr_final / args.lr
+            )
+        )
+    else:
+        optimizer = optax.adam(args.lr)
+    num_devices = len(jax.devices())
+    if args.joint_train:
+        from nerf_tpu.engine.pose_opt import (
+            JointTrainState, init_joint_train_state, make_joint_train_loop,
+        )
+        from nerf_tpu.engine.train import make_optimizer
+
+        nerf_lr = args.nerf_lr if args.nerf_lr > 0 else float(cfg.optimizer.lr)
+        nerf_opt = make_optimizer(
+            cfg.optimizer.type, nerf_lr,
+            cfg.scheduler.lr_decay if "scheduler" in cfg else None,
+            cfg.scheduler.lr_decay_factor if "scheduler" in cfg else None,
+        )
+        if params_coarse is not None:
+            trainable = {"coarse": params_coarse}
+            if params_fine is not None:
+                trainable["fine"] = params_fine
+            state = JointTrainState(
+                params_coarse, params_fine, nerf_opt.init(trainable),
+                init_pose_opt_state(n, optimizer),
+            )
+        else:
+            state = init_joint_train_state(
+                model_coarse, model_fine,
+                jax.random.PRNGKey(1000 + args.seed), n, nerf_opt, optimizer,
+            )
+        anneal = args.anneal_iters if args.anneal_iters >= 0 else args.iters // 2
+        n_freq = float(train_settings.num_encoding_fn_xyz)
+        joint_dp = num_devices > 1 and n % num_devices == 0
+        if joint_dp:
+            from nerf_tpu.parallel import (
+                make_mesh, make_parallel_joint_train_loop, replicate_tree,
+                shard_batch,
+            )
+
+            joint_mesh = make_mesh()
+        _joint_loops = {}
+
+        def joint_loop_for(iters_done: int):
+            """Loop program for the anneal phase at ``iters_done``; alpha is
+            quantized to quarter-spectrum steps to bound recompiles (<= 5)."""
+            if anneal <= 0 or iters_done >= anneal:
+                alpha = -1.0  # fully open == unwindowed; reuse one program
+            else:
+                frac = iters_done / anneal
+                alpha = n_freq * (round(frac * 4) / 4)
+            if alpha not in _joint_loops:
+                st = (train_settings if alpha < 0 else dataclasses.replace(
+                    train_settings, pe_alpha_xyz=alpha))
+                if joint_dp:
+                    _joint_loops[alpha] = make_parallel_joint_train_loop(
+                        model_coarse, model_fine, st, h, w, focal,
+                        args.rays_per_image, nerf_opt, optimizer,
+                        args.steps_per_loop, mesh=joint_mesh, num_images=n,
+                        refine_focal=args.refine_focal,
+                    )
+                else:
+                    _joint_loops[alpha] = make_joint_train_loop(
+                        model_coarse, model_fine, st, h, w, focal,
+                        args.rays_per_image, nerf_opt, optimizer,
+                        args.steps_per_loop, refine_focal=args.refine_focal,
+                    )
+            return _joint_loops[alpha]
+
+        print(
+            f"joint NeRF+camera training (nerf lr {nerf_lr:g}, "
+            f"anneal {anneal} iters)", flush=True,
+        )
+        run_joint = True
+    else:
+        run_joint = False
+    state = state if run_joint else init_pose_opt_state(n, optimizer)
     loop_base44, loop_images = base44, images
     loop_pc, loop_pf = params_coarse, params_fine
-    num_devices = len(jax.devices())
-    if num_devices > 1 and n % num_devices == 0:
+    if run_joint:
+        if joint_dp:
+            # Same DP layout as frozen-model refinement: images/poses shard,
+            # everything trainable replicates (tests/test_pose_dp.py).
+            state = replicate_tree(joint_mesh, state)
+            loop_base44, loop_images = shard_batch(joint_mesh, base44, images)
+            print(f"data-parallel over {num_devices} devices", flush=True)
+    elif num_devices > 1 and n % num_devices == 0:
         # Same trajectory as serial (tests/test_pose_dp.py), images sharded
         # over the mesh; camera params replicated, one pmean per step.
         from nerf_tpu.parallel import (
@@ -256,29 +394,41 @@ def main():
         )
     )
     eval_key = jax.random.PRNGKey(10_000 + args.seed)
+
+    def current(st):
+        """(pose opt_params, nerf coarse/fine params) for either mode."""
+        if run_joint:
+            return st.pose.opt_params, st.params_coarse, st.params_fine
+        return st.opt_params, params_coarse, params_fine
+
+    pose0, pc0, pf0 = current(state)
     initial_loss = float(
-        eval_loss(state.opt_params, base44, images, params_coarse,
-                  params_fine, eval_key)
+        eval_loss(pose0, base44, images, pc0, pf0, eval_key)
     )
 
     t0 = time.time()
     num_loops = max(1, -(-args.iters // args.steps_per_loop))
     for i in range(num_loops):
-        state, losses = loop(
-            state, loop_base44, loop_images, loop_pc, loop_pf,
-            jax.random.fold_in(jax.random.PRNGKey(args.seed), i),
-        )
+        step_key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        if run_joint:
+            loop = joint_loop_for(i * args.steps_per_loop)
+            state, losses = loop(state, loop_base44, loop_images, step_key)
+        else:
+            state, losses = loop(
+                state, loop_base44, loop_images, loop_pc, loop_pf, step_key
+            )
         print(
             f"[{(i + 1) * args.steps_per_loop:5d}] "
             f"loss {float(losses[-1]):.6f} ({time.time() - t0:.1f}s)",
             flush=True,
         )
+    pose_final, pc_final, pf_final = current(state)
     final_loss = float(
-        eval_loss(state.opt_params, base44, images, params_coarse,
-                  params_fine, eval_key)
+        eval_loss(pose_final, base44, images, pc_final, pf_final, eval_key)
     )
 
-    refined = twists_to_poses(state.xi, base44)
+    pose_state = state.pose if run_joint else state
+    refined = twists_to_poses(pose_state.xi, base44)
     report = {
         "num_poses": n,
         "iters": num_loops * args.steps_per_loop,
@@ -287,7 +437,7 @@ def main():
         "wall_s": round(time.time() - t0, 1),
     }
     if args.refine_focal:
-        refined_focal = focal * float(np.exp(state.log_focal))
+        refined_focal = focal * float(np.exp(pose_state.log_focal))
         report.update(
             initial_focal=focal,
             refined_focal=refined_focal,
@@ -309,13 +459,43 @@ def main():
             final_trans_mean=float(after["trans"].mean()),
             final_trans_max=float(after["trans"].max()),
         )
+        if run_joint:
+            # Joint training has a gauge freedom (scene + cameras drift
+            # together); only Sim(3)-aligned errors are meaningful.
+            from nerf_tpu.engine.pose_opt import align_poses_umeyama
+
+            aligned = {k: np.asarray(v) for k, v in pose_errors(
+                align_poses_umeyama(refined, true_poses), true_poses
+            ).items()}
+            report.update(
+                aligned_rot_deg_mean=float(aligned["rot_deg"].mean()),
+                aligned_trans_mean=float(aligned["trans"].mean()),
+            )
+    if run_joint:
+        report["mode"] = "joint"
+        if args.save_checkpoint:
+            from nerf_tpu.engine.checkpoint import save_checkpoint
+
+            os.makedirs(
+                os.path.dirname(args.save_checkpoint) or ".", exist_ok=True
+            )
+            save_checkpoint(
+                args.save_checkpoint,
+                {
+                    "step": num_loops * args.steps_per_loop,
+                    "params_coarse": pc_final,
+                    "params_fine": pf_final,
+                    "loss": final_loss,
+                },
+            )
+            report["saved_checkpoint"] = args.save_checkpoint
     if args.save_poses:
         os.makedirs(os.path.dirname(args.save_poses) or ".", exist_ok=True)
         np.savez(
             args.save_poses,
             poses=np.asarray(refined),
-            xi=np.asarray(state.xi),
-            log_focal=np.asarray(state.log_focal),
+            xi=np.asarray(pose_state.xi),
+            log_focal=np.asarray(pose_state.log_focal),
             base_poses=np.asarray(base34),
         )
         report["saved"] = args.save_poses

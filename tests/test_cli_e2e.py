@@ -433,6 +433,57 @@ def test_optimize_poses_cli_data_parallel(scene_config):
     assert report["final_loss"] < report["initial_loss"]
 
 
+def test_optimize_poses_cli_joint_train(scene_config, tmp_path):
+    """--joint-train (BARF/NeRF-- mode): train the NeRF from SCRATCH while
+    refining perturbed cameras. Exercises the coarse-to-fine anneal schedule
+    (three loop programs: alpha 0 -> mid -> open), the gauge-aligned error
+    report, and the trained-checkpoint save."""
+    cfg_path, _ = scene_config
+    out_ckpt = str(tmp_path / "joint.ntc")
+    out = run_cli(
+        "optimize_poses.py", "--config", cfg_path,
+        "--joint-train",
+        "--perturb-rot-deg", "2.0", "--perturb-trans", "0.03",
+        "--iters", "60", "--rays-per-image", "32", "--steps-per-loop", "20",
+        "--lr", "3e-3", "--anneal-iters", "40",
+        "--save-checkpoint", out_ckpt,
+    )
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["mode"] == "joint"
+    assert report["final_loss"] < report["initial_loss"]
+    # gauge-aligned errors are the meaningful metric for joint training
+    assert np.isfinite(report["aligned_rot_deg_mean"])
+    assert np.isfinite(report["aligned_trans_mean"])
+    assert report["saved_checkpoint"] == out_ckpt
+    # the saved checkpoint round-trips through the standard loader
+    from nerf_tpu.engine.checkpoint import load_checkpoint
+
+    ck = load_checkpoint(out_ckpt)
+    assert ck["step"] == 60
+    assert "params_coarse" in ck and "params_fine" in ck
+
+
+def test_optimize_poses_cli_joint_train_data_parallel(scene_config):
+    """--joint-train on a 2-virtual-device mesh: the CLI auto-shards the
+    images while replicating NeRF + camera params
+    (parallel/pose_dp.make_parallel_joint_train_loop); loss still drops.
+    Trajectory equality vs serial is asserted at the engine level
+    (tests/test_pose_dp.py)."""
+    cfg_path, _ = scene_config
+    out = run_cli(
+        "optimize_poses.py", "--config", cfg_path,
+        "--joint-train",
+        "--perturb-rot-deg", "2.0", "--perturb-trans", "0.03",
+        "--iters", "40", "--rays-per-image", "32", "--steps-per-loop", "20",
+        "--lr", "3e-3", "--anneal-iters", "0",
+        env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    assert "data-parallel over 2 devices" in out
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["mode"] == "joint"
+    assert report["final_loss"] < report["initial_loss"]
+
+
 @pytest.mark.skipif(not os.path.exists(FERN_CKPT), reason="pretrained absent")
 def test_optimize_poses_llff_ndc_cli(tmp_path):
     """optimize_poses.py LLFF/NDC branch: distill a tiny fern dataset from

@@ -87,3 +87,45 @@ def test_positional_encoding_options(rng):
     # zero encoding functions -> passthrough (nerf_helpers.py:153-155)
     out = positional_encoding(jnp.array(x), 0, include_input=True)
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+class TestCoarseToFineWindow:
+    """BARF eq. 14 window (ops/encoding.py) used by joint pose+scene
+    training (engine/pose_opt.make_joint_train_loop)."""
+
+    def test_window_endpoints_and_ramp(self):
+        from nerf_tpu.ops.encoding import coarse_to_fine_window
+
+        w0 = np.asarray(coarse_to_fine_window(6, 0.0))
+        np.testing.assert_array_equal(w0, np.zeros(6))
+        wfull = np.asarray(coarse_to_fine_window(6, 6.0))
+        np.testing.assert_array_equal(wfull, np.ones(6))
+        wmid = np.asarray(coarse_to_fine_window(6, 2.5))
+        np.testing.assert_allclose(wmid[:2], 1.0)
+        np.testing.assert_allclose(wmid[2], 0.5)
+        np.testing.assert_allclose(wmid[3:], 0.0)
+
+    def test_encode_points_windowing(self):
+        """pe_alpha_xyz masks exactly the xyz frequency blocks: alpha=0
+        zeroes every band (raw xyz + dir encoding pass through); alpha=F
+        reproduces the unwindowed encoding bit-for-bit."""
+        import dataclasses
+
+        from nerf_tpu.engine.renderer import RenderSettings, encode_points
+
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(5, 4, 3)),
+                          jnp.float32)
+        dirs = jnp.asarray(np.random.default_rng(1).normal(size=(5, 3)),
+                           jnp.float32)
+        s = RenderSettings(num_encoding_fn_xyz=4, num_encoding_fn_dir=2)
+        base = np.asarray(encode_points(pts, dirs, s))
+        full = np.asarray(encode_points(
+            pts, dirs, dataclasses.replace(s, pe_alpha_xyz=4.0)))
+        np.testing.assert_array_equal(full, base)
+        closed = np.asarray(encode_points(
+            pts, dirs, dataclasses.replace(s, pe_alpha_xyz=0.0)))
+        xyz_dim = 3 + 2 * 3 * 4
+        np.testing.assert_array_equal(closed[..., :3], base[..., :3])
+        np.testing.assert_array_equal(closed[..., 3:xyz_dim], 0.0)
+        np.testing.assert_array_equal(closed[..., xyz_dim:],
+                                      base[..., xyz_dim:])

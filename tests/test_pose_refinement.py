@@ -222,3 +222,61 @@ def test_focal_refinement_recovers_scale():
     initial_err = abs(wrong_focal - true_focal) / true_focal  # 8%
     final_err = abs(refined_focal - true_focal) / true_focal
     assert final_err < 0.5 * initial_err, (wrong_focal, refined_focal)
+
+
+def test_align_poses_umeyama_recovers_global_gauge():
+    """A global Sim(3) applied to every camera is exactly the gauge freedom
+    of joint training; alignment must reduce it to zero error."""
+    from nerf_tpu.engine.pose_opt import align_poses_umeyama
+    from nerf_tpu.lie import so3_exp
+
+    poses = jnp.stack(
+        [
+            jnp.asarray(pose_spherical(60.0 * i, -25.0, 4.0)[:3, :4],
+                        jnp.float32)
+            for i in range(6)
+        ]
+    )
+    g_R = so3_exp(jnp.asarray([0.3, -0.2, 0.5]))
+    s, t = 1.3, jnp.asarray([0.4, -0.1, 0.25])
+    moved_R = jax.vmap(lambda p: g_R @ p[:3, :3])(poses)
+    moved_c = s * (poses[..., :3, 3] @ g_R.T) + t
+    moved = jnp.concatenate([moved_R, moved_c[..., :, None]], axis=-1)
+    err_raw = pose_errors(moved, poses)
+    assert float(err_raw["trans"].mean()) > 0.5
+    aligned = align_poses_umeyama(moved, poses)
+    err = pose_errors(aligned, poses)
+    np.testing.assert_allclose(np.asarray(err["rot_deg"]), 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(err["trans"]), 0.0, atol=1e-5)
+
+
+def test_joint_train_loop_mechanics():
+    """Joint mode: loss decreases, the NeRF params actually move, and the
+    anchored first camera's twist stays exactly zero while others move."""
+    from nerf_tpu.engine.pose_opt import (
+        init_joint_train_state, make_joint_train_loop,
+    )
+
+    model, _, settings, poses, images, h, w, focal = _tiny_setup(num_fine=0)
+    noisy = perturb_poses(poses, jax.random.PRNGKey(2), 1.0, 0.02)
+    nerf_opt = optax.adam(5e-3)
+    pose_opt_ = optax.adam(1e-3)
+    state = init_joint_train_state(
+        model, None, jax.random.PRNGKey(0), poses.shape[0], nerf_opt,
+        pose_opt_,
+    )
+    p0 = jax.tree.map(lambda x: np.asarray(x), state.params_coarse)
+    loop = make_joint_train_loop(
+        model, None, settings, h, w, focal, 48, nerf_opt, pose_opt_,
+        steps_per_loop=30,
+    )
+    state, losses = loop(state, as_homogeneous(noisy), images,
+                         jax.random.PRNGKey(1))
+    assert float(losses[-5:].mean()) < float(losses[:5].mean())
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+        state.params_coarse, p0,
+    )
+    assert max(jax.tree.leaves(moved)) > 1e-4  # NeRF params trained
+    assert float(jnp.abs(state.pose.xi[0]).max()) == 0.0  # anchored
+    assert float(jnp.abs(state.pose.xi[1:]).max()) > 1e-5  # others refined
