@@ -176,9 +176,15 @@ def make_photometric_loss_fn(
 
     def photometric_loss(
         opt_params, base_poses, images, params_coarse, params_fine, key,
-        image_index_offset=0,
+        image_index_offset=0, render_key_fold=None,
     ):
         k_pix, k_render = jax.random.split(key)
+        if render_key_fold is not None:
+            # Decorrelate the sigma-noise/z-perturb stream across shards:
+            # pixel sampling is already shard-unique via image_index_offset,
+            # but k_render would otherwise draw IDENTICAL noise tensors on
+            # every device (parallel/pose_dp.py passes the shard index).
+            k_render = jax.random.fold_in(k_render, render_key_fold)
         poses34 = twists_to_poses(opt_params["xi"], base_poses)
         focal = (
             focal_length * jnp.exp(opt_params["log_focal"])
@@ -370,6 +376,52 @@ def init_joint_train_state(
     )
 
 
+def joint_update(
+    carry: "JointTrainState",
+    loss,
+    nerf_optimizer: optax.GradientTransformation,
+    pose_optimizer: optax.GradientTransformation,
+    anchor_first: bool,
+    grad_reduce=None,
+) -> Tuple["JointTrainState", jnp.ndarray]:
+    """One joint scene+camera update, shared by the serial loop and the DP
+    loop (parallel/pose_dp.py) so the two trajectories can never diverge by
+    code drift.
+
+    ``loss(opt_params, nerf_params_dict) -> scalar`` closes over this step's
+    data/key; ``grad_reduce(g_pose, g_nerf, loss)`` is the cross-device hook
+    (identity when None; one pmean per pytree in DP). The anchor mask is
+    applied AFTER reduction — masking row 0 commutes with pmean.
+    """
+    trainable = {"coarse": carry.params_coarse}
+    if carry.params_fine is not None:
+        trainable["fine"] = carry.params_fine
+
+    loss_val, (g_pose, g_nerf) = jax.value_and_grad(loss, argnums=(0, 1))(
+        carry.pose.opt_params, trainable
+    )
+    if grad_reduce is not None:
+        g_pose, g_nerf, loss_val = grad_reduce(g_pose, g_nerf, loss_val)
+    if anchor_first:
+        g_pose = {**g_pose, "xi": g_pose["xi"].at[0].set(0.0)}
+
+    nerf_updates, nerf_opt_state = nerf_optimizer.update(
+        g_nerf, carry.nerf_opt_state, trainable
+    )
+    new_nerf = optax.apply_updates(trainable, nerf_updates)
+    pose_updates, pose_opt_state = pose_optimizer.update(
+        g_pose, carry.pose.opt_state, carry.pose.opt_params
+    )
+    new_pose = optax.apply_updates(carry.pose.opt_params, pose_updates)
+
+    return JointTrainState(
+        new_nerf["coarse"],
+        new_nerf.get("fine"),
+        nerf_opt_state,
+        PoseOptState(new_pose["xi"], new_pose["log_focal"], pose_opt_state),
+    ), loss_val
+
+
 def make_joint_train_loop(
     model_coarse,
     model_fine,
@@ -412,9 +464,6 @@ def make_joint_train_loop(
     def loop(state: JointTrainState, base_poses, images, base_key):
         def body(carry: JointTrainState, i):
             key = jax.random.fold_in(base_key, i)
-            trainable = {"coarse": carry.params_coarse}
-            if carry.params_fine is not None:
-                trainable["fine"] = carry.params_fine
 
             def full_loss(opt_params, nerf_params):
                 return loss_fn(
@@ -422,29 +471,9 @@ def make_joint_train_loop(
                     nerf_params.get("fine"), key,
                 )
 
-            loss, (g_pose, g_nerf) = jax.value_and_grad(
-                full_loss, argnums=(0, 1)
-            )(carry.pose.opt_params, trainable)
-            if anchor_first:
-                g_pose = {**g_pose, "xi": g_pose["xi"].at[0].set(0.0)}
-
-            nerf_updates, nerf_opt_state = nerf_optimizer.update(
-                g_nerf, carry.nerf_opt_state, trainable
+            return joint_update(
+                carry, full_loss, nerf_optimizer, pose_optimizer, anchor_first
             )
-            new_nerf = optax.apply_updates(trainable, nerf_updates)
-            pose_updates, pose_opt_state = pose_optimizer.update(
-                g_pose, carry.pose.opt_state, carry.pose.opt_params
-            )
-            new_pose = optax.apply_updates(carry.pose.opt_params, pose_updates)
-
-            return JointTrainState(
-                new_nerf["coarse"],
-                new_nerf.get("fine"),
-                nerf_opt_state,
-                PoseOptState(
-                    new_pose["xi"], new_pose["log_focal"], pose_opt_state
-                ),
-            ), loss
 
         return jax.lax.scan(body, state, jnp.arange(steps_per_loop))
 

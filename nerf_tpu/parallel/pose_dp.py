@@ -36,6 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..engine.pose_opt import (
     JointTrainState,
     PoseOptState,
+    joint_update,
     make_photometric_loss_fn,
 )
 from ..engine.renderer import RenderSettings
@@ -80,7 +81,7 @@ def make_parallel_pose_opt_loop(
     )
 
     def local_loss(opt_params, base44, images, params_coarse, params_fine,
-                   key, offset):
+                   key, offset, shard):
         # Slice the replicated twists down to this shard's images; the
         # transpose of dynamic_slice zero-pads the gradient back to (N, 6).
         local_params = {
@@ -91,18 +92,19 @@ def make_parallel_pose_opt_loop(
         }
         return loss_fn(
             local_params, base44, images, params_coarse, params_fine, key,
-            image_index_offset=offset,
+            image_index_offset=offset, render_key_fold=shard,
         )
 
     def shard_loop(state: PoseOptState, base44, images, params_coarse,
                    params_fine, base_key):
-        offset = jax.lax.axis_index(axis) * local_n
+        shard = jax.lax.axis_index(axis)
+        offset = shard * local_n
 
         def body(carry, i):
             key = jax.random.fold_in(base_key, i)
             loss, grads = jax.value_and_grad(local_loss)(
                 carry.opt_params, base44, images, params_coarse, params_fine,
-                key, offset,
+                key, offset, shard,
             )
             # One collective assembles the global gradient: each twist row is
             # non-zero on exactly one shard (pmean = row / n_dev, the global
@@ -179,7 +181,8 @@ def make_parallel_joint_train_loop(
         rays_per_image, refine_focal=refine_focal,
     )
 
-    def local_loss(opt_params, nerf_params, base44, images, key, offset):
+    def local_loss(opt_params, nerf_params, base44, images, key, offset,
+                   shard):
         local_params = {
             "xi": jax.lax.dynamic_slice_in_dim(
                 opt_params["xi"], offset, local_n
@@ -189,43 +192,33 @@ def make_parallel_joint_train_loop(
         return loss_fn(
             local_params, base44, images, nerf_params["coarse"],
             nerf_params.get("fine"), key, image_index_offset=offset,
+            render_key_fold=shard,
         )
 
     def shard_loop(state: JointTrainState, base44, images, base_key):
-        offset = jax.lax.axis_index(axis) * local_n
+        shard = jax.lax.axis_index(axis)
+        offset = shard * local_n
+
+        def grad_reduce(g_pose, g_nerf, loss):
+            return (
+                jax.lax.pmean(g_pose, axis),
+                jax.lax.pmean(g_nerf, axis),
+                jax.lax.pmean(loss, axis),
+            )
 
         def body(carry: JointTrainState, i):
             key = jax.random.fold_in(base_key, i)
-            trainable = {"coarse": carry.params_coarse}
-            if carry.params_fine is not None:
-                trainable["fine"] = carry.params_fine
 
-            loss, (g_pose, g_nerf) = jax.value_and_grad(
-                local_loss, argnums=(0, 1)
-            )(carry.pose.opt_params, trainable, base44, images, key, offset)
-            g_pose = jax.lax.pmean(g_pose, axis)
-            g_nerf = jax.lax.pmean(g_nerf, axis)
-            loss = jax.lax.pmean(loss, axis)
-            if anchor_first:
-                g_pose = {**g_pose, "xi": g_pose["xi"].at[0].set(0.0)}
+            def full_loss(opt_params, nerf_params):
+                return local_loss(
+                    opt_params, nerf_params, base44, images, key, offset,
+                    shard,
+                )
 
-            nerf_updates, nerf_opt_state = nerf_optimizer.update(
-                g_nerf, carry.nerf_opt_state, trainable
+            return joint_update(
+                carry, full_loss, nerf_optimizer, pose_optimizer,
+                anchor_first, grad_reduce=grad_reduce,
             )
-            new_nerf = optax.apply_updates(trainable, nerf_updates)
-            pose_updates, pose_opt_state = pose_optimizer.update(
-                g_pose, carry.pose.opt_state, carry.pose.opt_params
-            )
-            new_pose = optax.apply_updates(carry.pose.opt_params, pose_updates)
-
-            return JointTrainState(
-                new_nerf["coarse"],
-                new_nerf.get("fine"),
-                nerf_opt_state,
-                PoseOptState(
-                    new_pose["xi"], new_pose["log_focal"], pose_opt_state
-                ),
-            ), loss
 
         return jax.lax.scan(body, state, jnp.arange(steps_per_loop))
 

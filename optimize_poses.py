@@ -197,6 +197,14 @@ def main():
         help="Dotted-key value pairs, e.g. dataset.basedir /tmp/distilled",
     )
     args = parser.parse_args()
+    if not args.joint_train:
+        for flag, val, unset in [
+            ("--nerf-lr", args.nerf_lr, 0.0),
+            ("--anneal-iters", args.anneal_iters, -1),
+            ("--save-checkpoint", args.save_checkpoint, ""),
+        ]:
+            if val != unset:
+                parser.error(f"{flag} requires --joint-train")
 
     cfg = load_config(args.config, args.overrides)
     images, poses, (h, w, focal) = load_split_images_and_poses(cfg, args.split)
@@ -281,10 +289,16 @@ def main():
         from nerf_tpu.engine.train import make_optimizer
 
         nerf_lr = args.nerf_lr if args.nerf_lr > 0 else float(cfg.optimizer.lr)
+        # Same construction as training (schema.optimizer_from_config) incl.
+        # the config's grad_clip_norm — joint training from a random init is
+        # the regime that needs clipping most — with only the lr overridden.
         nerf_opt = make_optimizer(
             cfg.optimizer.type, nerf_lr,
             cfg.scheduler.lr_decay if "scheduler" in cfg else None,
             cfg.scheduler.lr_decay_factor if "scheduler" in cfg else None,
+            grad_clip_norm=(
+                float(getattr(cfg.optimizer, "grad_clip_norm", 0.0)) or None
+            ),
         )
         if params_coarse is not None:
             trainable = {"coarse": params_coarse}
@@ -299,7 +313,21 @@ def main():
                 model_coarse, model_fine,
                 jax.random.PRNGKey(1000 + args.seed), n, nerf_opt, optimizer,
             )
-        anneal = args.anneal_iters if args.anneal_iters >= 0 else args.iters // 2
+        # Coarse-to-fine annealing is a FROM-SCRATCH device: it ramps the
+        # encoding bands a random-init scene can absorb gradually. Seeded
+        # from a pretrained checkpoint, alpha<n_freq would feed the converged
+        # MLP band-masked encodings it was never trained on and corrupt it —
+        # so finetuning defaults to no annealing.
+        if args.anneal_iters >= 0:
+            anneal = args.anneal_iters
+            if anneal > 0 and params_coarse is not None:
+                print(
+                    "WARNING: --anneal-iters > 0 with a pretrained "
+                    "--checkpoint masks encoding bands the checkpoint was "
+                    "trained with; expect transient corruption.", flush=True,
+                )
+        else:
+            anneal = 0 if params_coarse is not None else args.iters // 2
         n_freq = float(train_settings.num_encoding_fn_xyz)
         joint_dp = num_devices > 1 and n % num_devices == 0
         if joint_dp:
@@ -319,6 +347,10 @@ def main():
             else:
                 frac = iters_done / anneal
                 alpha = n_freq * (round(frac * 4) / 4)
+                if alpha >= n_freq:
+                    # all-ones window == unwindowed: reuse that program
+                    # instead of compiling a bit-identical sixth one.
+                    alpha = -1.0
             if alpha not in _joint_loops:
                 st = (train_settings if alpha < 0 else dataclasses.replace(
                     train_settings, pe_alpha_xyz=alpha))

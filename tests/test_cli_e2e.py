@@ -463,6 +463,22 @@ def test_optimize_poses_cli_joint_train(scene_config, tmp_path):
     assert "params_coarse" in ck and "params_fine" in ck
 
 
+def test_optimize_poses_joint_only_flags_guarded(scene_config):
+    """Joint-only flags without --joint-train must fail loudly instead of
+    being silently ignored (e.g. --save-checkpoint writing nothing)."""
+    cfg_path, _ = scene_config
+    cmd = [
+        sys.executable, "-c", _LAUNCHER,
+        os.path.join(REPO, "optimize_poses.py"), "--config", cfg_path,
+        "--checkpoint", "x.ntc", "--save-checkpoint", "/tmp/x.ntc",
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=120, cwd=REPO
+    )
+    assert proc.returncode != 0
+    assert "requires --joint-train" in proc.stderr
+
+
 def test_optimize_poses_cli_joint_train_data_parallel(scene_config):
     """--joint-train on a 2-virtual-device mesh: the CLI auto-shards the
     images while replicating NeRF + camera params

@@ -280,3 +280,41 @@ def test_joint_train_loop_mechanics():
     assert max(jax.tree.leaves(moved)) > 1e-4  # NeRF params trained
     assert float(jnp.abs(state.pose.xi[0]).max()) == 0.0  # anchored
     assert float(jnp.abs(state.pose.xi[1:]).max()) > 1e-5  # others refined
+
+
+def test_render_key_fold_decorrelates_stochastic_loss():
+    """The loss_fn's render_key_fold must give each DP shard its own
+    sigma-noise/z-perturb stream (identical draws across shards would
+    correlate the regularization noise device-to-device) while leaving
+    deterministic settings untouched."""
+    import dataclasses
+
+    from nerf_tpu.engine.pose_opt import (
+        init_pose_opt_state, make_photometric_loss_fn,
+    )
+
+    model, params, settings, poses, images, h, w, focal = _tiny_setup(
+        num_fine=0
+    )
+    noisy_settings = dataclasses.replace(
+        settings, radiance_field_noise_std=0.5, perturb=True
+    )
+    state = init_pose_opt_state(poses.shape[0], optax.adam(1e-3))
+    base44 = as_homogeneous(poses)
+    key = jax.random.PRNGKey(3)
+
+    loss_fn = make_photometric_loss_fn(
+        model, None, noisy_settings, h, w, focal, 32
+    )
+    l0 = float(loss_fn(state.opt_params, base44, images, params, None, key,
+                       render_key_fold=0))
+    l1 = float(loss_fn(state.opt_params, base44, images, params, None, key,
+                       render_key_fold=1))
+    assert l0 != l1  # different noise realizations per shard
+
+    det_fn = make_photometric_loss_fn(model, None, settings, h, w, focal, 32)
+    d0 = float(det_fn(state.opt_params, base44, images, params, None, key,
+                      render_key_fold=0))
+    d1 = float(det_fn(state.opt_params, base44, images, params, None, key,
+                      render_key_fold=1))
+    assert d0 == d1  # deterministic path ignores the fold entirely
