@@ -1,0 +1,447 @@
+"""Geometry extraction from a trained radiance field.
+
+The reference (krrish94/nerf-pytorch) has no geometry export; the original
+NeRF release shipped an ``extract_mesh`` notebook (sigma grid + marching
+cubes at iso=50) that its users depend on. This module rebuilds that
+capability TPU-first:
+
+- The density grid is evaluated INSIDE one jitted program: sample
+  coordinates are generated on-device from chunk indices (nothing but the
+  params crosses the host->device boundary), each chunk is one big batched
+  encode+MLP matmul (MXU-shaped), and ``lax.scan`` walks the chunks so the
+  whole R^3 sweep is a single dispatch. Only the final (R, R, R) float32
+  sigma grid is fetched.
+- The isosurfacer is a vectorized marching-tetrahedra pass (host-side
+  numpy): each grid cube splits into 6 diagonal-aligned tetrahedra (a
+  face-consistent decomposition, so meshes are watertight by
+  construction), surface cells are pre-filtered with an 8-corner min/max
+  test, and shared-edge vertices weld exactly because every crossing is
+  interpolated in canonical (low global index -> high) direction and keyed
+  by its global edge id. Marching *tetrahedra* instead of marching *cubes*
+  because its 16-case table is small enough to verify exhaustively in the
+  test suite (``tests/test_geometry.py``) — no 256-entry lookup table to
+  trust.
+
+Outputs are binary little-endian PLY (vertex colors sampled from the
+radiance field at a fixed view direction), loadable by MeshLab / Blender /
+Open3D / trimesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .renderer import RenderSettings, encode_points
+
+# ---------------------------------------------------------------------------
+# Device-side field sampling
+# ---------------------------------------------------------------------------
+
+
+def _field_settings(settings: RenderSettings) -> RenderSettings:
+    """Grid queries always take the exact XLA path (no Pallas, no anneal)."""
+    return dataclasses.replace(
+        settings, use_pallas=False, pe_alpha_xyz=-1.0, remat=False
+    )
+
+
+def _apply_field(model, params, pts, settings: RenderSettings):
+    """Evaluate the raw field at ``pts`` (C, 3) -> (C, 4) [r, g, b, sigma_raw].
+
+    View-dependent models get a fixed -z view direction — the density head
+    never sees it, and for colors a fixed frontal direction is the standard
+    vertex-bake convention.
+    """
+    s = settings
+    viewdirs = None
+    if getattr(model, "use_viewdirs", True) and model.dim_dir > 0:
+        viewdirs = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, -1.0], dtype=pts.dtype), pts.shape
+        )
+    enc = encode_points(pts[:, None, :], viewdirs, s)
+    if s.compute_dtype != "float32":
+        enc = enc.astype(jnp.dtype(s.compute_dtype))
+    raw = model.apply(params, enc)
+    return raw.astype(jnp.float32)[:, 0, :]
+
+
+def make_sigma_grid_fn(
+    model,
+    settings: RenderSettings,
+    resolution: int,
+    bbox_min: Tuple[float, float, float],
+    bbox_max: Tuple[float, float, float],
+    chunk: int = 65536,
+):
+    """Build ``grid_fn(params) -> (R, R, R) float32 sigma`` (one jitted program).
+
+    Grid axis order is (x, y, z); vertex (i, j, k) sits at
+    ``bbox_min + (i, j, k) / (R - 1) * (bbox_max - bbox_min)``.
+    Coordinates are synthesized on-device from the linear chunk index, so
+    the host uploads nothing per call.
+    """
+    s = _field_settings(settings)
+    r = int(resolution)
+    n = r ** 3
+    chunk = int(min(chunk, n))
+    num_chunks = (n + chunk - 1) // chunk
+    lo = jnp.asarray(bbox_min, dtype=jnp.float32)
+    hi = jnp.asarray(bbox_max, dtype=jnp.float32)
+    scale = (hi - lo) / max(r - 1, 1)
+
+    def one_chunk(carry, c):
+        lin = c * chunk + jnp.arange(chunk)
+        k = lin % r
+        j = (lin // r) % r
+        i = lin // (r * r)
+        ijk = jnp.stack([i, j, k], axis=-1).astype(jnp.float32)
+        pts = lo + ijk * scale
+        raw = _apply_field(model, carry, pts, s)
+        return carry, jax.nn.relu(raw[:, 3])
+
+    def grid_fn(params):
+        _, sig = jax.lax.scan(one_chunk, params, jnp.arange(num_chunks))
+        return sig.reshape(num_chunks * chunk)[:n].reshape(r, r, r)
+
+    return jax.jit(grid_fn)
+
+
+def make_rgb_query_fn(model, settings: RenderSettings, chunk: int = 65536):
+    """Build ``rgb_fn(params, pts (N, 3)) -> (N, 3) float32 in [0, 1]``.
+
+    Chunked ``lax.scan`` over padded host-provided points (the mesh/cloud
+    vertices — tiny next to the grid, so uploading them is fine).
+    """
+    s = _field_settings(settings)
+
+    def scan_fn(params, pts_chunks):
+        def one(carry, p):
+            raw = _apply_field(model, carry, p, s)
+            return carry, jax.nn.sigmoid(raw[:, :3])
+
+        _, rgb = jax.lax.scan(one, params, pts_chunks)
+        return rgb
+
+    jitted = jax.jit(scan_fn)
+
+    def rgb_fn(params, pts: np.ndarray) -> np.ndarray:
+        pts = np.asarray(pts, dtype=np.float32)
+        n = pts.shape[0]
+        if n == 0:
+            return np.zeros((0, 3), dtype=np.float32)
+        padded = (n + chunk - 1) // chunk * chunk
+        if padded != n:
+            pts = np.concatenate(
+                [pts, np.broadcast_to(pts[-1:], (padded - n, 3))], axis=0
+            )
+        out = jitted(params, jnp.asarray(pts.reshape(-1, chunk, 3)))
+        return np.asarray(out).reshape(padded, 3)[:n]
+
+    return rgb_fn
+
+
+# ---------------------------------------------------------------------------
+# Marching tetrahedra (host-side numpy)
+# ---------------------------------------------------------------------------
+
+# Cube corner numbering (dx, dy, dz); 6-tet split around the 0-6 diagonal.
+_CUBE_OFFSETS = np.array(
+    [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+     (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)],
+    dtype=np.int64,
+)
+# (0, a, b, 6) with (a, b) walking the equator cycle 1-2-3-7-4-5-1: every
+# tet is positively oriented and every cube face is cut by the SAME
+# diagonal as its neighbor's matching face (translates of the 0-6
+# direction) — the property that makes the global mesh watertight.
+_TET_CORNERS = np.array(
+    [(0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+     (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6)],
+    dtype=np.int64,
+)
+# Tet edge numbering used by the case table.
+_TET_EDGES = np.array(
+    [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], dtype=np.int64
+)
+# case = sum(2^i for tet-vertex i with value > iso) -> triangles as edge-id
+# triples, wound so normals point OUT of the high-value region (for a
+# positively oriented tet). Derived by hand; verified exhaustively by
+# tests/test_geometry.py::test_tet_table_*.
+_TRI_TABLE = {
+    1: [(0, 1, 2)],
+    2: [(0, 4, 3)],
+    3: [(1, 2, 4), (1, 4, 3)],
+    4: [(1, 3, 5)],
+    5: [(0, 3, 5), (0, 5, 2)],
+    6: [(0, 4, 5), (0, 5, 1)],
+    7: [(2, 4, 5)],
+    8: [(2, 5, 4)],
+    9: [(0, 1, 5), (0, 5, 4)],
+    10: [(0, 2, 5), (0, 5, 3)],
+    11: [(1, 5, 3)],
+    12: [(1, 3, 4), (1, 4, 2)],
+    13: [(0, 3, 4)],
+    14: [(0, 2, 1)],
+}
+
+
+def _active_cells(values: np.ndarray, iso: float) -> np.ndarray:
+    """Linear-ish (A, 3) integer base indices of cells straddling ``iso``."""
+    inside = values > iso
+    occ = inside[:-1, :-1, :-1].astype(np.uint8)
+    for dx, dy, dz in _CUBE_OFFSETS[1:]:
+        occ = occ + inside[
+            dx : dx + inside.shape[0] - 1,
+            dy : dy + inside.shape[1] - 1,
+            dz : dz + inside.shape[2] - 1,
+        ]
+    return np.argwhere((occ > 0) & (occ < 8))
+
+
+def marching_tetrahedra(
+    values: np.ndarray,
+    iso: float,
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the ``values > iso`` isosurface of a 3-D scalar grid.
+
+    Returns ``(vertices (V, 3) float32, faces (F, 3) int64)`` with faces
+    wound counter-clockwise seen from outside (the low-value side).
+    Vertices on edges shared between tetrahedra/cells are welded exactly
+    (same canonical interpolation + global edge key), so closed surfaces
+    come out watertight and consistently oriented.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    if values.ndim != 3 or min(values.shape) < 2:
+        raise ValueError(f"need a 3-D grid with every dim >= 2, got {values.shape}")
+    nx, ny, nz = values.shape
+    origin = np.asarray(origin, dtype=np.float64)
+    spacing = np.asarray(spacing, dtype=np.float64)
+
+    cells = _active_cells(values, iso)
+    tri_keys, tri_t, tri_ga = [], [], []
+    if cells.shape[0]:
+        flat = values.reshape(-1)
+        # (A, 8) global vertex ids of each active cell's corners.
+        corner = (
+            (cells[:, 0:1] + _CUBE_OFFSETS[:, 0]) * (ny * nz)
+            + (cells[:, 1:2] + _CUBE_OFFSETS[:, 1]) * nz
+            + (cells[:, 2:3] + _CUBE_OFFSETS[:, 2])
+        )
+        for tet in _TET_CORNERS:
+            tv = corner[:, tet]                       # (A, 4) global ids
+            vals = flat[tv]                           # (A, 4)
+            case = ((vals > iso).astype(np.int64) << np.arange(4)).sum(axis=1)
+            for c, tris in _TRI_TABLE.items():
+                sel = np.nonzero(case == c)[0]
+                if not sel.size:
+                    continue
+                for tri in tris:
+                    ek = _TET_EDGES[list(tri)]        # (3, 2) local corners
+                    ga, gb = tv[sel][:, ek[:, 0]], tv[sel][:, ek[:, 1]]
+                    va, vb = vals[sel][:, ek[:, 0]], vals[sel][:, ek[:, 1]]
+                    # Canonical direction: low global id -> high, so the
+                    # same edge interpolates bit-identically in every tet.
+                    swap = ga > gb
+                    ga2 = np.where(swap, gb, ga)
+                    gb2 = np.where(swap, ga, gb)
+                    va2 = np.where(swap, vb, va)
+                    vb2 = np.where(swap, va, vb)
+                    t = (iso - va2) / (vb2 - va2)
+                    tri_keys.append(ga2 * (nx * ny * nz) + gb2)
+                    tri_t.append(t)
+                    tri_ga.append(np.stack([ga2, gb2], axis=-1))
+    if not tri_keys:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    keys = np.concatenate(tri_keys, axis=0)           # (F, 3)
+    ts = np.concatenate(tri_t, axis=0)                # (F, 3)
+    gab = np.concatenate(tri_ga, axis=0)              # (F, 3, 2)
+
+    uniq, first, inv = np.unique(keys.reshape(-1), return_index=True, return_inverse=True)
+    faces = inv.reshape(-1, 3)
+    ga = gab.reshape(-1, 2)[first]                    # (V, 2) endpoint ids
+    tv = ts.reshape(-1)[first]                        # (V,)
+
+    def unflatten(g):
+        return np.stack([g // (ny * nz), (g // nz) % ny, g % nz], axis=-1)
+
+    pa = origin + unflatten(ga[:, 0]) * spacing
+    pb = origin + unflatten(ga[:, 1]) * spacing
+    verts = (pa + tv[:, None] * (pb - pa)).astype(np.float32)
+    # Drop degenerate faces (possible when a corner value equals iso
+    # exactly: two distinct edges collapse onto the same corner point).
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return verts, faces[ok]
+
+
+# ---------------------------------------------------------------------------
+# High-level extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_mesh(
+    model,
+    params,
+    settings: RenderSettings,
+    bbox_min: Tuple[float, float, float] = (-1.5, -1.5, -1.5),
+    bbox_max: Tuple[float, float, float] = (1.5, 1.5, 1.5),
+    resolution: int = 256,
+    iso: float = 50.0,
+    chunk: int = 65536,
+    with_colors: bool = True,
+    sigma_grid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Density grid -> marching-tets mesh (+ optional baked vertex colors).
+
+    ``iso=50`` is the original NeRF release's extract_mesh convention.
+    Returns ``(vertices, faces, colors_uint8 | None)``.
+    """
+    if sigma_grid is None:
+        grid_fn = make_sigma_grid_fn(
+            model, settings, resolution, bbox_min, bbox_max, chunk
+        )
+        sigma_grid = np.asarray(grid_fn(params))
+    r = sigma_grid.shape[0]
+    lo = np.asarray(bbox_min, dtype=np.float64)
+    hi = np.asarray(bbox_max, dtype=np.float64)
+    verts, faces = marching_tetrahedra(
+        sigma_grid, iso, origin=lo, spacing=(hi - lo) / max(r - 1, 1)
+    )
+    colors = None
+    if with_colors and verts.shape[0]:
+        rgb = make_rgb_query_fn(model, settings, chunk)(params, verts)
+        colors = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+    return verts, faces, colors
+
+
+def extract_pointcloud(
+    model,
+    params,
+    settings: RenderSettings,
+    bbox_min: Tuple[float, float, float] = (-1.5, -1.5, -1.5),
+    bbox_max: Tuple[float, float, float] = (1.5, 1.5, 1.5),
+    resolution: int = 256,
+    threshold: float = 50.0,
+    chunk: int = 65536,
+    max_points: int = 0,
+    seed: int = 0,
+    sigma_grid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Grid vertices with ``sigma > threshold`` as a colored point cloud.
+
+    Returns ``(points (N, 3) float32, colors (N, 3) uint8, sigmas (N,))``;
+    ``max_points > 0`` subsamples uniformly at random (deterministic seed).
+    """
+    if sigma_grid is None:
+        grid_fn = make_sigma_grid_fn(
+            model, settings, resolution, bbox_min, bbox_max, chunk
+        )
+        sigma_grid = np.asarray(grid_fn(params))
+    r = sigma_grid.shape[0]
+    lo = np.asarray(bbox_min, dtype=np.float64)
+    hi = np.asarray(bbox_max, dtype=np.float64)
+    idx = np.argwhere(sigma_grid > threshold)
+    sigmas = sigma_grid[sigma_grid > threshold]
+    if max_points and idx.shape[0] > max_points:
+        keep = np.random.default_rng(seed).choice(
+            idx.shape[0], size=max_points, replace=False
+        )
+        idx, sigmas = idx[keep], sigmas[keep]
+    pts = (lo + idx * ((hi - lo) / max(r - 1, 1))).astype(np.float32)
+    if pts.shape[0]:
+        rgb = make_rgb_query_fn(model, settings, chunk)(params, pts)
+        colors = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+    else:
+        colors = np.zeros((0, 3), dtype=np.uint8)
+    return pts, colors, np.asarray(sigmas, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# PLY I/O
+# ---------------------------------------------------------------------------
+
+
+def save_ply(
+    path: str,
+    vertices: np.ndarray,
+    faces: Optional[np.ndarray] = None,
+    colors: Optional[np.ndarray] = None,
+) -> None:
+    """Write a binary little-endian PLY (optional faces / uchar colors)."""
+    vertices = np.asarray(vertices, dtype=np.float32)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {vertices.shape[0]}",
+              "property float x", "property float y", "property float z"]
+    vfields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if colors is not None:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+        vfields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    if faces is not None:
+        header += [f"element face {faces.shape[0]}",
+                   "property list uchar int vertex_indices"]
+    header.append("end_header")
+
+    vdata = np.empty(vertices.shape[0], dtype=vfields)
+    vdata["x"], vdata["y"], vdata["z"] = vertices.T
+    if colors is not None:
+        colors = np.asarray(colors, dtype=np.uint8)
+        vdata["red"], vdata["green"], vdata["blue"] = colors.T
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(vdata.tobytes())
+        if faces is not None:
+            fdata = np.empty(
+                faces.shape[0],
+                dtype=[("n", "u1"), ("i0", "<i4"), ("i1", "<i4"), ("i2", "<i4")],
+            )
+            fdata["n"] = 3
+            fdata["i0"], fdata["i1"], fdata["i2"] = np.asarray(faces, np.int32).T
+            f.write(fdata.tobytes())
+
+
+def load_ply(path: str):
+    """Read PLYs written by :func:`save_ply` (tests / spot checks).
+
+    Returns ``(vertices, faces | None, colors | None)``.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    end = data.index(b"end_header\n") + len(b"end_header\n")
+    lines = data[:end].decode("ascii").splitlines()
+    nv = nf = 0
+    has_color = False
+    for ln in lines:
+        if ln.startswith("element vertex"):
+            nv = int(ln.split()[-1])
+        elif ln.startswith("element face"):
+            nf = int(ln.split()[-1])
+        elif ln == "property uchar red":
+            has_color = True
+    vfields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if has_color:
+        vfields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    vdt = np.dtype(vfields)
+    vdata = np.frombuffer(data, dtype=vdt, count=nv, offset=end)
+    verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], axis=-1)
+    colors = (
+        np.stack([vdata["red"], vdata["green"], vdata["blue"]], axis=-1)
+        if has_color else None
+    )
+    faces = None
+    if nf:
+        fdt = np.dtype([("n", "u1"), ("i0", "<i4"), ("i1", "<i4"), ("i2", "<i4")])
+        fdata = np.frombuffer(data, dtype=fdt, count=nf, offset=end + nv * vdt.itemsize)
+        faces = np.stack([fdata["i0"], fdata["i1"], fdata["i2"]], axis=-1).astype(np.int64)
+    return verts, faces, colors

@@ -590,3 +590,55 @@ def test_train_missing_load_checkpoint_fails_fast(tmp_path):
     )
     assert proc.returncode != 0
     assert "does not exist" in proc.stderr
+
+
+@pytest.mark.skipif(not os.path.exists(LEGO_CKPT), reason="pretrained absent")
+def test_extract_geometry_cli(tmp_path):
+    """Mesh + point-cloud export from a reference checkpoint: both PLYs must
+    exist, parse, and describe the lego scene (nonempty, inside the bbox)."""
+    from nerf_tpu.engine.geometry import load_ply
+
+    mesh_path = str(tmp_path / "lego.ply")
+    out = run_cli(
+        "extract_geometry.py",
+        "--config", "configs/lego_lowres.yml",
+        "--checkpoint", LEGO_CKPT,
+        "--output", mesh_path,
+        "--resolution", "32", "--iso", "50", "--chunk", "16384",
+    )
+    assert "mesh:" in out
+    verts, faces, colors = load_ply(mesh_path)
+    assert verts.shape[0] > 100 and faces.shape[0] > 200
+    assert colors is not None and colors.shape == (verts.shape[0], 3)
+    assert faces.max() < verts.shape[0]
+    assert np.all(np.abs(verts) <= 1.5 + 1e-6)
+
+    pc_path = str(tmp_path / "lego_pc.ply")
+    run_cli(
+        "extract_geometry.py",
+        "--config", "configs/lego_lowres.yml",
+        "--checkpoint", LEGO_CKPT,
+        "--output", pc_path, "--mode", "pointcloud",
+        "--resolution", "32", "--threshold", "50", "--chunk", "16384",
+        "--max-points", "5000",
+    )
+    pts, pc_faces, pc_colors = load_ply(pc_path)
+    assert 0 < pts.shape[0] <= 5000 and pc_faces is None
+    assert pc_colors is not None and pc_colors.shape == (pts.shape[0], 3)
+
+
+def test_extract_geometry_llff_requires_bbox(tmp_path):
+    """LLFF scenes must demand an explicit --bbox instead of silently using
+    the blender default box."""
+    cmd = [
+        sys.executable, "-c", _LAUNCHER,
+        os.path.join(REPO, "extract_geometry.py"),
+        "--config", "configs/fern_lowres.yml",
+        "--checkpoint", "ignored.ntc",
+        "--output", str(tmp_path / "x.ply"),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd=REPO
+    )
+    assert proc.returncode != 0
+    assert "--bbox" in proc.stderr
