@@ -74,6 +74,9 @@ def main():
                              "evaluation).")
     parser.add_argument("--no-colors", action="store_true",
                         help="Skip baking vertex colors.")
+    parser.add_argument("--no-normals", action="store_true",
+                        help="Skip the autodiffed density-gradient vertex "
+                             "normals (mesh mode).")
     parser.add_argument("--save-grid", type=str, default="",
                         help="Also save the raw sigma grid to this .npz.")
     parser.add_argument(
@@ -132,10 +135,10 @@ def main():
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     if args.mode == "mesh":
         t0 = time.time()
-        verts, faces, colors = extract_mesh(
+        verts, faces, colors, normals = extract_mesh(
             model, params, settings, bbox_min, bbox_max, args.resolution,
             args.iso, args.chunk, with_colors=not args.no_colors,
-            sigma_grid=sigma_grid,
+            with_normals=not args.no_normals, sigma_grid=sigma_grid,
         )
         if verts.shape[0] == 0:
             raise SystemExit(
@@ -143,7 +146,8 @@ def main():
                 f"{bbox_max} (sigma max {sigma_grid.max():.2f}) — lower --iso "
                 "or widen --bbox"
             )
-        save_ply(args.output, verts, faces=faces, colors=colors)
+        save_ply(args.output, verts, faces=faces, colors=colors,
+                 normals=normals)
         print(
             f"mesh: {verts.shape[0]:,} vertices, {faces.shape[0]:,} faces "
             f"in {time.time() - t0:.1f} s -> {args.output}", flush=True,

@@ -145,6 +145,50 @@ def make_rgb_query_fn(model, settings: RenderSettings, chunk: int = 65536):
     return rgb_fn
 
 
+def make_normals_query_fn(model, settings: RenderSettings, chunk: int = 65536):
+    """Build ``normals_fn(params, pts (N, 3)) -> (N, 3) float32 unit normals``.
+
+    Surface normal = the negated, normalized density gradient (density
+    increases toward the interior), computed by autodiff through the
+    encode+MLP program — no finite-difference stencil, one extra backward
+    pass per point. Chunked like :func:`make_rgb_query_fn`.
+    """
+    s = _field_settings(settings)
+
+    def sigma_at(params, p):
+        # Pre-ReLU alpha: identical to sigma wherever a surface exists
+        # (sigma > 0) and smooth across it.
+        return _apply_field(model, params, p[None, :], s)[0, 3]
+
+    grad_one = jax.grad(sigma_at, argnums=1)
+
+    def scan_fn(params, pts_chunks):
+        def one(carry, p):
+            g = jax.vmap(grad_one, in_axes=(None, 0))(carry, p)
+            n = -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+            return carry, n
+
+        _, normals = jax.lax.scan(one, params, pts_chunks)
+        return normals
+
+    jitted = jax.jit(scan_fn)
+
+    def normals_fn(params, pts: np.ndarray) -> np.ndarray:
+        pts = np.asarray(pts, dtype=np.float32)
+        n = pts.shape[0]
+        if n == 0:
+            return np.zeros((0, 3), dtype=np.float32)
+        padded = (n + chunk - 1) // chunk * chunk
+        if padded != n:
+            pts = np.concatenate(
+                [pts, np.broadcast_to(pts[-1:], (padded - n, 3))], axis=0
+            )
+        out = jitted(params, jnp.asarray(pts.reshape(-1, chunk, 3)))
+        return np.asarray(out).reshape(padded, 3)[:n]
+
+    return normals_fn
+
+
 # ---------------------------------------------------------------------------
 # Marching tetrahedra (host-side numpy)
 # ---------------------------------------------------------------------------
@@ -300,12 +344,16 @@ def extract_mesh(
     iso: float = 50.0,
     chunk: int = 65536,
     with_colors: bool = True,
+    with_normals: bool = True,
     sigma_grid: Optional[np.ndarray] = None,
-) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """Density grid -> marching-tets mesh (+ optional baked vertex colors).
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
+    """Density grid -> marching-tets mesh (+ baked vertex colors/normals).
 
     ``iso=50`` is the original NeRF release's extract_mesh convention.
-    Returns ``(vertices, faces, colors_uint8 | None)``.
+    Normals come from the autodiffed density gradient
+    (:func:`make_normals_query_fn`), not from face geometry — smooth
+    shading even at the grid resolution's facet scale.
+    Returns ``(vertices, faces, colors_uint8 | None, normals | None)``.
     """
     if sigma_grid is None:
         grid_fn = make_sigma_grid_fn(
@@ -318,11 +366,13 @@ def extract_mesh(
     verts, faces = marching_tetrahedra(
         sigma_grid, iso, origin=lo, spacing=(hi - lo) / max(r - 1, 1)
     )
-    colors = None
+    colors = normals = None
     if with_colors and verts.shape[0]:
         rgb = make_rgb_query_fn(model, settings, chunk)(params, verts)
         colors = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
-    return verts, faces, colors
+    if with_normals and verts.shape[0]:
+        normals = make_normals_query_fn(model, settings, chunk)(params, verts)
+    return verts, faces, colors, normals
 
 
 def extract_pointcloud(
@@ -377,13 +427,18 @@ def save_ply(
     vertices: np.ndarray,
     faces: Optional[np.ndarray] = None,
     colors: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
 ) -> None:
-    """Write a binary little-endian PLY (optional faces / uchar colors)."""
+    """Write a binary little-endian PLY (optional faces/normals/uchar colors)."""
     vertices = np.asarray(vertices, dtype=np.float32)
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {vertices.shape[0]}",
               "property float x", "property float y", "property float z"]
     vfields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if normals is not None:
+        header += ["property float nx", "property float ny",
+                   "property float nz"]
+        vfields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
     if colors is not None:
         header += ["property uchar red", "property uchar green",
                    "property uchar blue"]
@@ -395,6 +450,9 @@ def save_ply(
 
     vdata = np.empty(vertices.shape[0], dtype=vfields)
     vdata["x"], vdata["y"], vdata["z"] = vertices.T
+    if normals is not None:
+        normals = np.asarray(normals, dtype=np.float32)
+        vdata["nx"], vdata["ny"], vdata["nz"] = normals.T
     if colors is not None:
         colors = np.asarray(colors, dtype=np.uint8)
         vdata["red"], vdata["green"], vdata["blue"] = colors.T
@@ -414,14 +472,14 @@ def save_ply(
 def load_ply(path: str):
     """Read PLYs written by :func:`save_ply` (tests / spot checks).
 
-    Returns ``(vertices, faces | None, colors | None)``.
+    Returns ``(vertices, faces | None, colors | None, normals | None)``.
     """
     with open(path, "rb") as f:
         data = f.read()
     end = data.index(b"end_header\n") + len(b"end_header\n")
     lines = data[:end].decode("ascii").splitlines()
     nv = nf = 0
-    has_color = False
+    has_color = has_normals = False
     for ln in lines:
         if ln.startswith("element vertex"):
             nv = int(ln.split()[-1])
@@ -429,7 +487,11 @@ def load_ply(path: str):
             nf = int(ln.split()[-1])
         elif ln == "property uchar red":
             has_color = True
+        elif ln == "property float nx":
+            has_normals = True
     vfields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if has_normals:
+        vfields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
     if has_color:
         vfields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
     vdt = np.dtype(vfields)
@@ -439,9 +501,13 @@ def load_ply(path: str):
         np.stack([vdata["red"], vdata["green"], vdata["blue"]], axis=-1)
         if has_color else None
     )
+    normals = (
+        np.stack([vdata["nx"], vdata["ny"], vdata["nz"]], axis=-1)
+        if has_normals else None
+    )
     faces = None
     if nf:
         fdt = np.dtype([("n", "u1"), ("i0", "<i4"), ("i1", "<i4"), ("i2", "<i4")])
         fdata = np.frombuffer(data, dtype=fdt, count=nf, offset=end + nv * vdt.itemsize)
         faces = np.stack([fdata["i0"], fdata["i1"], fdata["i2"]], axis=-1).astype(np.int64)
-    return verts, faces, colors
+    return verts, faces, colors, normals

@@ -607,9 +607,14 @@ def test_extract_geometry_cli(tmp_path):
         "--resolution", "32", "--iso", "50", "--chunk", "16384",
     )
     assert "mesh:" in out
-    verts, faces, colors = load_ply(mesh_path)
+    verts, faces, colors, normals = load_ply(mesh_path)
     assert verts.shape[0] > 100 and faces.shape[0] > 200
     assert colors is not None and colors.shape == (verts.shape[0], 3)
+    assert normals is not None and normals.shape == (verts.shape[0], 3)
+    norms = np.linalg.norm(normals, axis=1)
+    # Degenerate (zero-gradient) vertices legitimately yield a zero normal;
+    # essentially all of the surface must carry a unit one.
+    assert np.mean(np.abs(norms - 1.0) < 1e-3) > 0.98
     assert faces.max() < verts.shape[0]
     assert np.all(np.abs(verts) <= 1.5 + 1e-6)
 
@@ -622,7 +627,7 @@ def test_extract_geometry_cli(tmp_path):
         "--resolution", "32", "--threshold", "50", "--chunk", "16384",
         "--max-points", "5000",
     )
-    pts, pc_faces, pc_colors = load_ply(pc_path)
+    pts, pc_faces, pc_colors, _ = load_ply(pc_path)
     assert 0 < pts.shape[0] <= 5000 and pc_faces is None
     assert pc_colors is not None and pc_colors.shape == (pts.shape[0], 3)
 

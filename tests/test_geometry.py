@@ -244,7 +244,7 @@ def test_extract_mesh_and_pointcloud_from_model():
         "kernel": params["fc_alpha"]["kernel"],
         "bias": params["fc_alpha"]["bias"] + 2.0,
     }
-    verts, faces, colors = extract_mesh(
+    verts, faces, colors, normals = extract_mesh(
         model, params, settings, bbox_min=(-1,) * 3, bbox_max=(1,) * 3,
         resolution=12, iso=0.5, chunk=128,
     )
@@ -258,6 +258,10 @@ def test_extract_mesh_and_pointcloud_from_model():
     assert np.all(np.abs(pts) <= 1.0)
     if verts.shape[0]:  # iso surface may or may not cross the bbox interior
         assert colors.shape == (verts.shape[0], 3)
+        assert normals.shape == (verts.shape[0], 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(normals, axis=1), 1.0, atol=1e-5
+        )
         assert faces.max() < verts.shape[0]
 
 
@@ -269,18 +273,47 @@ def test_extract_mesh_and_pointcloud_from_model():
 def test_ply_roundtrip(tmp_path):
     verts, faces = _sphere_mesh(res=9)
     colors = (np.arange(verts.shape[0] * 3).reshape(-1, 3) % 256).astype(np.uint8)
+    normals = verts / np.linalg.norm(verts, axis=1, keepdims=True)
     path = os.path.join(tmp_path, "mesh.ply")
-    save_ply(path, verts, faces=faces, colors=colors)
-    rv, rf, rc = load_ply(path)
+    save_ply(path, verts, faces=faces, colors=colors, normals=normals)
+    rv, rf, rc, rn = load_ply(path)
     np.testing.assert_array_equal(rv, verts)
     np.testing.assert_array_equal(rf, faces)
     np.testing.assert_array_equal(rc, colors)
+    np.testing.assert_array_equal(rn, normals.astype(np.float32))
 
 
 def test_ply_vertices_only(tmp_path):
     verts = np.random.default_rng(0).normal(size=(17, 3)).astype(np.float32)
     path = os.path.join(tmp_path, "cloud.ply")
     save_ply(path, verts)
-    rv, rf, rc = load_ply(path)
+    rv, rf, rc, rn = load_ply(path)
     np.testing.assert_array_equal(rv, verts)
-    assert rf is None and rc is None
+    assert rf is None and rc is None and rn is None
+
+
+def test_normals_match_finite_differences():
+    model, params, settings = _tiny_model_and_settings()
+    from nerf_tpu.engine.geometry import (
+        _apply_field,
+        _field_settings,
+        make_normals_query_fn,
+    )
+
+    pts = np.random.default_rng(3).uniform(-1, 1, size=(9, 3)).astype(np.float32)
+    got = make_normals_query_fn(model, settings, chunk=16)(params, pts)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-5)
+
+    s = _field_settings(settings)
+    eps = 1e-3
+    grads = np.zeros_like(pts)
+    for axis in range(3):
+        delta = np.zeros(3, np.float32)
+        delta[axis] = eps
+        hi = np.asarray(_apply_field(model, params, jnp.asarray(pts + delta), s))[:, 3]
+        lo = np.asarray(_apply_field(model, params, jnp.asarray(pts - delta), s))[:, 3]
+        grads[:, axis] = (hi - lo) / (2 * eps)
+    want = -grads / np.maximum(
+        np.linalg.norm(grads, axis=1, keepdims=True), 1e-12
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
