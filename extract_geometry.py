@@ -99,16 +99,22 @@ def main():
     model_coarse, model_fine, params_coarse, params_fine, _ = (
         load_models_and_params(args.checkpoint, cfg)
     )
-    if args.model == "fine" and model_fine is not None:
+    if args.model == "fine" and params_fine is not None:
         model, params = model_fine, params_fine
     else:
         model, params = model_coarse, params_coarse
 
     import dataclasses
 
+    # Grid sampling happens in WORLD space regardless of how the scene was
+    # trained to render, so NDC is irrelevant here — force it off (and feed
+    # a dummy hwf so NDC-enabled LLFF configs can build settings at all).
     settings = dataclasses.replace(
-        render_settings_from_config(cfg, "validation").eval_variant(),
+        render_settings_from_config(
+            cfg, "validation", hwf=(1, 1, 1.0)
+        ).eval_variant(),
         compute_dtype=args.precision,
+        use_ndc=False, height=0, width=0, focal_length=0.0,
     )
 
     t0 = time.time()
@@ -126,8 +132,11 @@ def main():
         flush=True,
     )
     if args.save_grid:
+        # float32, not float16: raw relu'd sigma is unbounded and trained
+        # fields exceed the f16 range (65504) in dense regions — an inf in
+        # a reloaded grid turns interpolation into NaN vertices.
         np.savez_compressed(
-            args.save_grid, sigma=sigma_grid.astype(np.float16),
+            args.save_grid, sigma=sigma_grid,
             bbox_min=bbox_min, bbox_max=bbox_max,
         )
         print(f"wrote {args.save_grid}", flush=True)

@@ -111,38 +111,45 @@ def make_sigma_grid_fn(
     return jax.jit(grid_fn)
 
 
-def make_rgb_query_fn(model, settings: RenderSettings, chunk: int = 65536):
-    """Build ``rgb_fn(params, pts (N, 3)) -> (N, 3) float32 in [0, 1]``.
+def _make_chunked_point_query(per_chunk_fn, chunk: int):
+    """Host wrapper shared by the vertex queries: pad host points to a chunk
+    multiple (repeating the last point), ``lax.scan`` the jitted body over
+    the chunks, slice the padding back off.
 
-    Chunked ``lax.scan`` over padded host-provided points (the mesh/cloud
-    vertices — tiny next to the grid, so uploading them is fine).
+    The effective chunk shrinks to the (1024-rounded) point count so a
+    25k-vertex color/normal bake never pads up to a grid-sweep-sized
+    (e.g. 262144) batch of wasted MLP evaluations.
     """
-    s = _field_settings(settings)
+    jitted = jax.jit(
+        lambda params, pts_chunks: jax.lax.scan(per_chunk_fn, params, pts_chunks)[1]
+    )
 
-    def scan_fn(params, pts_chunks):
-        def one(carry, p):
-            raw = _apply_field(model, carry, p, s)
-            return carry, jax.nn.sigmoid(raw[:, :3])
-
-        _, rgb = jax.lax.scan(one, params, pts_chunks)
-        return rgb
-
-    jitted = jax.jit(scan_fn)
-
-    def rgb_fn(params, pts: np.ndarray) -> np.ndarray:
+    def query_fn(params, pts: np.ndarray) -> np.ndarray:
         pts = np.asarray(pts, dtype=np.float32)
         n = pts.shape[0]
         if n == 0:
             return np.zeros((0, 3), dtype=np.float32)
-        padded = (n + chunk - 1) // chunk * chunk
+        eff = min(chunk, (n + 1023) // 1024 * 1024)
+        padded = (n + eff - 1) // eff * eff
         if padded != n:
             pts = np.concatenate(
                 [pts, np.broadcast_to(pts[-1:], (padded - n, 3))], axis=0
             )
-        out = jitted(params, jnp.asarray(pts.reshape(-1, chunk, 3)))
+        out = jitted(params, jnp.asarray(pts.reshape(-1, eff, 3)))
         return np.asarray(out).reshape(padded, 3)[:n]
 
-    return rgb_fn
+    return query_fn
+
+
+def make_rgb_query_fn(model, settings: RenderSettings, chunk: int = 65536):
+    """Build ``rgb_fn(params, pts (N, 3)) -> (N, 3) float32 in [0, 1]``."""
+    s = _field_settings(settings)
+
+    def one(carry, p):
+        raw = _apply_field(model, carry, p, s)
+        return carry, jax.nn.sigmoid(raw[:, :3])
+
+    return _make_chunked_point_query(one, chunk)
 
 
 def make_normals_query_fn(model, settings: RenderSettings, chunk: int = 65536):
@@ -151,7 +158,7 @@ def make_normals_query_fn(model, settings: RenderSettings, chunk: int = 65536):
     Surface normal = the negated, normalized density gradient (density
     increases toward the interior), computed by autodiff through the
     encode+MLP program — no finite-difference stencil, one extra backward
-    pass per point. Chunked like :func:`make_rgb_query_fn`.
+    pass per point. Zero-gradient (degenerate) points yield a zero normal.
     """
     s = _field_settings(settings)
 
@@ -162,31 +169,12 @@ def make_normals_query_fn(model, settings: RenderSettings, chunk: int = 65536):
 
     grad_one = jax.grad(sigma_at, argnums=1)
 
-    def scan_fn(params, pts_chunks):
-        def one(carry, p):
-            g = jax.vmap(grad_one, in_axes=(None, 0))(carry, p)
-            n = -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
-            return carry, n
+    def one(carry, p):
+        g = jax.vmap(grad_one, in_axes=(None, 0))(carry, p)
+        n = -g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        return carry, n
 
-        _, normals = jax.lax.scan(one, params, pts_chunks)
-        return normals
-
-    jitted = jax.jit(scan_fn)
-
-    def normals_fn(params, pts: np.ndarray) -> np.ndarray:
-        pts = np.asarray(pts, dtype=np.float32)
-        n = pts.shape[0]
-        if n == 0:
-            return np.zeros((0, 3), dtype=np.float32)
-        padded = (n + chunk - 1) // chunk * chunk
-        if padded != n:
-            pts = np.concatenate(
-                [pts, np.broadcast_to(pts[-1:], (padded - n, 3))], axis=0
-            )
-        out = jitted(params, jnp.asarray(pts.reshape(-1, chunk, 3)))
-        return np.asarray(out).reshape(padded, 3)[:n]
-
-    return normals_fn
+    return _make_chunked_point_query(one, chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +286,18 @@ def marching_tetrahedra(
                     va2 = np.where(swap, vb, va)
                     vb2 = np.where(swap, va, vb)
                     t = (iso - va2) / (vb2 - va2)
-                    tri_keys.append(ga2 * (nx * ny * nz) + gb2)
+                    # A crossing that lands exactly on a grid corner (a
+                    # corner value == iso, so t is exactly 0 or 1) is keyed
+                    # by the CORNER id, not the edge id: every edge incident
+                    # to that corner emits the same vertex, and they must
+                    # all weld to one id or the watertight guarantee breaks
+                    # (integer/occupancy grids hit this constantly).
+                    n_vert = nx * ny * nz
+                    key = np.where(
+                        t == 0.0, ga2,
+                        np.where(t == 1.0, gb2, n_vert + ga2 * n_vert + gb2),
+                    )
+                    tri_keys.append(key)
                     tri_t.append(t)
                     tri_ga.append(np.stack([ga2, gb2], axis=-1))
     if not tri_keys:
@@ -318,9 +317,14 @@ def marching_tetrahedra(
 
     pa = origin + unflatten(ga[:, 0]) * spacing
     pb = origin + unflatten(ga[:, 1]) * spacing
-    verts = (pa + tv[:, None] * (pb - pa)).astype(np.float32)
-    # Drop degenerate faces (possible when a corner value equals iso
-    # exactly: two distinct edges collapse onto the same corner point).
+    tcol = tv[:, None]
+    # Exact corner positions at t == 0/1 (pa + 1.0*(pb-pa) can round away
+    # from pb); plain interpolation elsewhere.
+    verts = np.where(
+        tcol == 0.0, pa, np.where(tcol == 1.0, pb, pa + tcol * (pb - pa))
+    ).astype(np.float32)
+    # Corner-welded vertices collapse some triangles to zero area (two of a
+    # triangle's edges crossing at the same at-iso corner); drop them.
     ok = (
         (faces[:, 0] != faces[:, 1])
         & (faces[:, 1] != faces[:, 2])

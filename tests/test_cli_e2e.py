@@ -632,6 +632,30 @@ def test_extract_geometry_cli(tmp_path):
     assert pc_colors is not None and pc_colors.shape == (pts.shape[0], 3)
 
 
+@pytest.mark.skipif(not os.path.exists(FERN_CKPT), reason="pretrained absent")
+def test_extract_geometry_llff_with_bbox(tmp_path):
+    """The advertised LLFF path (explicit --bbox) must work even though the
+    config enables NDC — world-space grid sampling forces NDC off
+    (code-review finding, round 3). Point-cloud mode: fern has no closed
+    surface inside an arbitrary box, but dense sigma exists."""
+    pc_path = str(tmp_path / "fern_pc.ply")
+    out = run_cli(
+        "extract_geometry.py",
+        "--config", "configs/fern_lowres.yml",
+        "--checkpoint", FERN_CKPT,
+        "--output", pc_path, "--mode", "pointcloud",
+        "--bbox", "-1", "-1", "-1", "1", "1", "1",
+        "--resolution", "24", "--threshold", "1.0", "--chunk", "8192",
+        "--max-points", "2000",
+    )
+    assert "point cloud:" in out
+    from nerf_tpu.engine.geometry import load_ply
+
+    pts, _, colors, _ = load_ply(pc_path)
+    assert 0 < pts.shape[0] <= 2000
+    assert colors is not None
+
+
 def test_extract_geometry_llff_requires_bbox(tmp_path):
     """LLFF scenes must demand an explicit --bbox instead of silently using
     the blender default box."""

@@ -155,6 +155,45 @@ def test_translated_sphere_follows_origin_and_spacing():
     assert np.all(np.abs(radii - r) < 0.07)
 
 
+def test_exact_iso_corners_weld_and_stay_watertight():
+    """Occupancy-style grids put corner values exactly AT iso: all crossings
+    collapse onto grid corners (t = 0/1), which must weld to single vertex
+    ids (keyed by corner, not by edge) or the watertight guarantee breaks
+    (code-review finding, round 3)."""
+    import collections
+
+    values = np.zeros((6, 6, 6))
+    values[2:4, 2:4, 2:4] = 1.0  # 2^3 block of "inside"
+    verts, faces = marching_tetrahedra(values, 0.0)
+    assert verts.shape[0] > 0
+    # every vertex welded: unique ids == unique positions
+    assert np.unique(np.round(verts, 6), axis=0).shape[0] == verts.shape[0]
+    # no zero-area faces survive the corner collapse
+    p0, p1, p2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    areas = np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1)
+    assert np.all(areas > 1e-12)
+    # closed surface, consistently oriented
+    directed = collections.Counter()
+    for tri in faces:
+        directed[(tri[0], tri[1])] += 1
+        directed[(tri[1], tri[2])] += 1
+        directed[(tri[2], tri[0])] += 1
+    for (a, b), count in directed.items():
+        assert count == 1 and (b, a) in directed
+
+
+def test_single_corner_at_iso_has_no_duplicate_vertices():
+    values = np.full((2, 2, 2), -1.0)
+    values[0, 0, 0] = 0.0  # exactly at iso (outside, since inside is strict >)
+    values[1, 0, 0] = 1.0
+    values[0, 1, 0] = 1.0
+    verts, faces = marching_tetrahedra(values, 0.0)
+    assert np.unique(np.round(verts, 6), axis=0).shape[0] == verts.shape[0]
+    if faces.shape[0]:
+        p0, p1, p2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        assert np.all(np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1) > 1e-12)
+
+
 # ---------------------------------------------------------------------------
 # Density-grid query vs an independent numpy spec
 # ---------------------------------------------------------------------------
