@@ -118,9 +118,24 @@ def main():
     )
 
     t0 = time.time()
-    grid_fn = make_sigma_grid_fn(
-        model, settings, args.resolution, bbox_min, bbox_max, args.chunk
-    )
+    import jax
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # Multi-device backend: shard the sweep's chunk axis over the data
+        # mesh (embarrassingly parallel, numerically identical to serial).
+        from nerf_tpu.parallel import make_mesh
+        from nerf_tpu.parallel.geometry import make_parallel_sigma_grid_fn
+
+        grid_fn = make_parallel_sigma_grid_fn(
+            model, settings, args.resolution, bbox_min, bbox_max,
+            make_mesh(), chunk=args.chunk,
+        )
+        print(f"sharding the grid sweep over {n_dev} devices", flush=True)
+    else:
+        grid_fn = make_sigma_grid_fn(
+            model, settings, args.resolution, bbox_min, bbox_max, args.chunk
+        )
     sigma_grid = np.asarray(grid_fn(params))
     n = args.resolution ** 3
     dt = time.time() - t0

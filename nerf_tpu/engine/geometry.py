@@ -70,6 +70,42 @@ def _apply_field(model, params, pts, settings: RenderSettings):
     return raw.astype(jnp.float32)[:, 0, :]
 
 
+def sigma_chunk_body(
+    model,
+    settings: RenderSettings,
+    resolution: int,
+    bbox_min: Tuple[float, float, float],
+    bbox_max: Tuple[float, float, float],
+    chunk: int,
+):
+    """``one_chunk(params, c) -> (chunk,) sigma`` for linear chunk index ``c``.
+
+    The shared device-side sweep body: synthesizes the chunk's grid
+    coordinates from ``c`` (nothing crosses the host boundary), encodes,
+    and evaluates the density head. Used by the serial scan here and the
+    shard_map sweep in ``parallel/geometry.py``. Out-of-range indices (the
+    tail chunk's padding) produce points past the bbox — harmless, the
+    caller slices them off.
+    """
+    s = _field_settings(settings)
+    r = int(resolution)
+    lo = jnp.asarray(bbox_min, dtype=jnp.float32)
+    hi = jnp.asarray(bbox_max, dtype=jnp.float32)
+    scale = (hi - lo) / max(r - 1, 1)
+
+    def one_chunk(params, c):
+        lin = c * chunk + jnp.arange(chunk)
+        k = lin % r
+        j = (lin // r) % r
+        i = lin // (r * r)
+        ijk = jnp.stack([i, j, k], axis=-1).astype(jnp.float32)
+        pts = lo + ijk * scale
+        raw = _apply_field(model, params, pts, s)
+        return jax.nn.relu(raw[:, 3])
+
+    return one_chunk
+
+
 def make_sigma_grid_fn(
     model,
     settings: RenderSettings,
@@ -83,29 +119,22 @@ def make_sigma_grid_fn(
     Grid axis order is (x, y, z); vertex (i, j, k) sits at
     ``bbox_min + (i, j, k) / (R - 1) * (bbox_max - bbox_min)``.
     Coordinates are synthesized on-device from the linear chunk index, so
-    the host uploads nothing per call.
+    the host uploads nothing per call. Multi-device: see
+    ``parallel.geometry.make_parallel_sigma_grid_fn``.
     """
-    s = _field_settings(settings)
     r = int(resolution)
     n = r ** 3
     chunk = int(min(chunk, n))
     num_chunks = (n + chunk - 1) // chunk
-    lo = jnp.asarray(bbox_min, dtype=jnp.float32)
-    hi = jnp.asarray(bbox_max, dtype=jnp.float32)
-    scale = (hi - lo) / max(r - 1, 1)
-
-    def one_chunk(carry, c):
-        lin = c * chunk + jnp.arange(chunk)
-        k = lin % r
-        j = (lin // r) % r
-        i = lin // (r * r)
-        ijk = jnp.stack([i, j, k], axis=-1).astype(jnp.float32)
-        pts = lo + ijk * scale
-        raw = _apply_field(model, carry, pts, s)
-        return carry, jax.nn.relu(raw[:, 3])
+    one_chunk = sigma_chunk_body(
+        model, settings, r, bbox_min, bbox_max, chunk
+    )
 
     def grid_fn(params):
-        _, sig = jax.lax.scan(one_chunk, params, jnp.arange(num_chunks))
+        _, sig = jax.lax.scan(
+            lambda carry, c: (carry, one_chunk(carry, c)),
+            params, jnp.arange(num_chunks),
+        )
         return sig.reshape(num_chunks * chunk)[:n].reshape(r, r, r)
 
     return jax.jit(grid_fn)

@@ -8,6 +8,7 @@ from .dp import (
     make_parallel_train_loop,
     make_parallel_train_step,
 )
+from .geometry import make_parallel_sigma_grid_fn
 from .pose_dp import make_parallel_joint_train_loop, make_parallel_pose_opt_loop
 from .mesh import (
     DATA_AXIS,
@@ -35,4 +36,5 @@ __all__ = [
     "make_parallel_train_step",
     "make_parallel_joint_train_loop",
     "make_parallel_pose_opt_loop",
+    "make_parallel_sigma_grid_fn",
 ]

@@ -274,6 +274,25 @@ def test_sigma_grid_matches_numpy_spec():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_parallel_sigma_grid_matches_serial():
+    """The shard_map sweep must reproduce the serial scan exactly (same
+    chunk body + boundaries; only device placement differs)."""
+    from nerf_tpu.parallel import make_mesh
+    from nerf_tpu.parallel.geometry import make_parallel_sigma_grid_fn
+
+    model, params, settings = _tiny_model_and_settings()
+    res = 9  # 729 points over 12 chunks of 64 -> uneven tail across 8 devices
+    serial = make_sigma_grid_fn(
+        model, settings, res, (-1.0,) * 3, (1.0,) * 3, chunk=64
+    )
+    parallel = make_parallel_sigma_grid_fn(
+        model, settings, res, (-1.0,) * 3, (1.0,) * 3, make_mesh(), chunk=64
+    )
+    got_serial = np.asarray(serial(params))
+    got_parallel = np.asarray(parallel(params))
+    np.testing.assert_allclose(got_parallel, got_serial, rtol=1e-6, atol=1e-6)
+
+
 def test_extract_mesh_and_pointcloud_from_model():
     model, params, settings = _tiny_model_and_settings()
     # Opacify: bias the density head positive so an isosurface exists
