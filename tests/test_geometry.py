@@ -323,6 +323,35 @@ def test_extract_mesh_and_pointcloud_from_model():
         assert faces.max() < verts.shape[0]
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["VeryTinyNeRFModel", "MultiHeadNeRFModel", "ReplicateNeRFModel",
+     "PaperNeRFModel", "FlexibleNeRFModel"],
+)
+def test_sigma_grid_works_for_every_model_family(name):
+    """The field-query path must serve all 5 registered families, not just
+    the flagship (they differ in dir-encoding counts and input layout)."""
+    from nerf_tpu.models import MODEL_REGISTRY
+
+    model = MODEL_REGISTRY[name]()
+    # VeryTiny/MultiHead encode directions with the SAME ladder as xyz
+    # (reference models.py:4-78); Replicate/Paper/Flexible use 6/4.
+    dir_fns = (
+        model.num_encoding_functions
+        if hasattr(model, "num_encoding_functions") else 4
+    )
+    settings = RenderSettings(
+        num_encoding_fn_xyz=6, num_encoding_fn_dir=dir_fns,
+        include_input_xyz=True, include_input_dir=True,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    grid = np.asarray(
+        make_sigma_grid_fn(model, settings, 5, (-1,) * 3, (1,) * 3, chunk=32)(params)
+    )
+    assert grid.shape == (5, 5, 5)
+    assert np.all(np.isfinite(grid)) and np.all(grid >= 0)
+
+
 # ---------------------------------------------------------------------------
 # PLY round-trip
 # ---------------------------------------------------------------------------
