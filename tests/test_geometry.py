@@ -370,6 +370,33 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_array_equal(rn, normals.astype(np.float32))
 
 
+def test_turntable_preview_renders_the_sphere(tmp_path):
+    """tools/render_ply_turntable.py frame: a centered sphere cloud must
+    splat to a nonempty, roughly centered disk."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "render_ply_turntable",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "tools", "render_ply_turntable.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    verts, _ = _sphere_mesh(res=15)
+    normals = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    colors = np.full((verts.shape[0], 3), 180, dtype=np.uint8)
+    img = mod.render_frame(
+        verts, colors, normals, 64,
+        center=np.zeros(3), radius=3.0, az=45.0, el=30.0,
+    )
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    nonwhite = img.min(axis=-1) < 240
+    assert 0.02 < nonwhite.mean() < 0.9
+    ys, xs = np.nonzero(nonwhite)
+    assert abs(ys.mean() - 32) < 12 and abs(xs.mean() - 32) < 12
+
+
 def test_ply_vertices_only(tmp_path):
     verts = np.random.default_rng(0).normal(size=(17, 3)).astype(np.float32)
     path = os.path.join(tmp_path, "cloud.ply")
