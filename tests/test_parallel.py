@@ -213,3 +213,36 @@ def test_distributed_initialize_single_process_cluster():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "DIST_OK" in proc.stdout
+
+
+def test_dp_compiled_scaling():
+    """Compiler-level scaling evidence (tools/dp_scaling_analysis.py's CI
+    hook): the compiled SPMD program's per-device FLOPs must drop ~1/N as
+    the mesh grows (the ray work shards; only the replicated optimizer
+    update and gradient reduction stay constant), and the N>1 program must
+    contain the gradient all-reduce."""
+    from nerf_tpu.parallel import make_parallel_train_loop
+
+    settings, model, opt, state = _setup(perturb=True, noise=0.2)
+
+    def compile_for(n):
+        mesh = make_mesh(n)
+        loop = make_parallel_train_loop(
+            model, model, settings, opt, mesh, batch_size=256, steps_per_call=4
+        )
+        ro, rd, tgt = _ray_batch(512)
+        ro, rd, tgt = shard_batch(mesh, ro, rd, tgt)
+        compiled = loop.lower(
+            state, ro, rd, tgt, jax.random.PRNGKey(2)
+        ).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)), compiled.as_text()
+
+    flops_1, hlo_1 = compile_for(1)
+    flops_8, hlo_8 = compile_for(8)
+    # Ideal ray-work scaling is 1/8; the replicated Adam update (+reduce)
+    # adds a constant, so allow [1/16, 1/4] — far from 1/8 means DP broke.
+    assert flops_1 / 16 < flops_8 < flops_1 / 4, (flops_1, flops_8)
+    assert " all-reduce(" in hlo_8
