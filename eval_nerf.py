@@ -83,6 +83,17 @@ def main():
              "--precision float32 for numerics pinned by the parity tests). "
              "Non-default model shapes silently fall back to xla.",
     )
+    parser.add_argument(
+        "--tighten-aabb", type=float, default=None, metavar="TAU",
+        help="Empty-space acceleration (no reference equivalent): sweep the "
+             "checkpoint's density field once, bound the region with "
+             "post-ReLU sigma > TAU (1.0 is a good default), and tighten "
+             "every ray's sample interval to its crossing of that box. Same "
+             "sample counts packed onto occupied space — combine with "
+             "--overrides nerf.validation.num_coarse/num_fine to trade "
+             "samples for speed at equal quality. Blender scenes only "
+             "(NDC rays are incompatible).",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config, args.overrides)
@@ -174,6 +185,20 @@ def main():
         compute_dtype=args.precision,
         use_pallas=(args.renderer == "pallas"),
     )
+    if args.tighten_aabb is not None:
+        if settings.use_ndc:
+            raise SystemExit("--tighten-aabb is incompatible with NDC (LLFF) scenes")
+        from nerf_tpu.engine import density_aabb
+
+        t0 = time.time()
+        box = density_aabb(
+            model_coarse, params_coarse, settings, tau=args.tighten_aabb
+        )
+        print(f"density AABB (tau={args.tighten_aabb}): "
+              f"[{box[0]:.2f},{box[1]:.2f},{box[2]:.2f}] - "
+              f"[{box[3]:.2f},{box[4]:.2f},{box[5]:.2f}] "
+              f"({time.time() - t0:.1f}s)", flush=True)
+        settings = dataclasses.replace(settings, aabb=box)
     # Pose -> image renderer with the relay-transfer tricks (ray generation
     # inside the jit, device-side uint8 display map) centralized in
     # engine.renderer.make_pose_render_fn.

@@ -140,6 +140,43 @@ def make_sigma_grid_fn(
     return jax.jit(grid_fn)
 
 
+def density_aabb(
+    model,
+    params,
+    settings: RenderSettings,
+    resolution: int = 64,
+    bbox_min: Tuple[float, float, float] = (-1.5, -1.5, -1.5),
+    bbox_max: Tuple[float, float, float] = (1.5, 1.5, 1.5),
+    tau: float = 1.0,
+    chunk: int = 65536,
+) -> Tuple[float, float, float, float, float, float]:
+    """Axis-aligned bounding box of the field's occupied region.
+
+    Sweeps a ``resolution``^3 sigma grid over ``[bbox_min, bbox_max]`` and
+    returns the tight (xmin, ymin, zmin, xmax, ymax, zmax) around vertices
+    with post-ReLU sigma > ``tau``, padded by one voxel so surfaces that
+    straddle the threshold stay inside. Feed the result to
+    ``RenderSettings.aabb`` for empty-space-skipping renders (the sample
+    interval of every ray is tightened to its box crossing). Falls back to
+    the sweep bounds when nothing exceeds ``tau`` (untrained field).
+    """
+    grid_fn = make_sigma_grid_fn(
+        model, settings, resolution, bbox_min, bbox_max, chunk
+    )
+    sigma = np.asarray(grid_fn(params))
+    occupied = np.argwhere(sigma > tau)
+    lo = np.asarray(bbox_min, np.float64)
+    hi = np.asarray(bbox_max, np.float64)
+    if occupied.size == 0:
+        return tuple(lo) + tuple(hi)
+    scale = (hi - lo) / (resolution - 1)
+    box_lo = lo + (occupied.min(axis=0) - 1) * scale
+    box_hi = lo + (occupied.max(axis=0) + 1) * scale
+    box_lo = np.maximum(box_lo, lo)
+    box_hi = np.minimum(box_hi, hi)
+    return tuple(float(v) for v in box_lo) + tuple(float(v) for v in box_hi)
+
+
 def _make_chunked_point_query(per_chunk_fn, chunk: int):
     """Host wrapper shared by the vertex queries: pad host points to a chunk
     multiple (repeating the last point), ``lax.scan`` the jitted body over

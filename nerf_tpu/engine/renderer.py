@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.encoding import positional_encoding
-from ..ops.rays import ndc_rays
+from ..ops.rays import ndc_rays, ray_aabb_interval
 from ..ops.sampling import coarse_z_values, perturb_z_values, sample_pdf
 from ..ops.volume import RenderOutputs, volume_render_radiance_field
 
@@ -77,6 +77,15 @@ class RenderSettings:
     # .coarse_to_fine_window(alpha). Negative = off (the production render
     # and training paths). Static -> folds into constants per compile.
     pe_alpha_xyz: float = -1.0
+    # Empty-space acceleration (no reference equivalent): when set to
+    # (xmin, ymin, zmin, xmax, ymax, zmax), every ray's sample interval is
+    # tightened to its crossing of this axis-aligned box (ops.rays
+    # .ray_aabb_interval); rays that miss keep the full [near, far]. Derive
+    # from a trained field with engine.geometry.density_aabb. Incompatible
+    # with NDC (whose rays live in the projected cube already). Same sample
+    # counts, denser placement on occupied space — use to trade samples for
+    # speed at equal quality (docs/PARITY.md "AABB-tightened sampling").
+    aabb: Optional[Tuple[float, float, float, float, float, float]] = None
     # Use the fused Pallas encode+MLP kernel for radiance-field evaluation
     # (forward-only — rendering/eval; training autodiffs the XLA path).
     # Silently falls back to XLA when the model shape isn't the fusable
@@ -205,7 +214,8 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     return eval_fn(params, pts, viewdirs)
 
 
-def _render_stage(model, params, pts, viewdirs, z_vals, rd, s: RenderSettings, noise_key):
+def _render_stage(model, params, pts, viewdirs, z_vals, rd, s: RenderSettings, noise_key,
+                  final_dists=None):
     """One coarse-or-fine stage: radiance-field eval + compositing.
 
     Pallas path = feature-major fused encode+MLP kernel (ops/pallas/mlp_t —
@@ -217,10 +227,10 @@ def _render_stage(model, params, pts, viewdirs, z_vals, rd, s: RenderSettings, n
     (see docs/PARITY.md, Pallas notes).
     """
     rf = _eval_radiance_field(model, params, pts, viewdirs, s)
-    return _composite(rf, z_vals, rd, s, noise_key)
+    return _composite(rf, z_vals, rd, s, noise_key, final_dists)
 
 
-def _composite(rf, z_vals, rd, s: RenderSettings, noise_key):
+def _composite(rf, z_vals, rd, s: RenderSettings, noise_key, final_dists=None):
     """Volume compositing: always the XLA renderer. Measured on-chip
     (round 2, 800px interleaved A/B): with the feature-major MLP kernel
     feeding it, XLA compositing beats chaining the round-1 Pallas composite
@@ -232,6 +242,7 @@ def _composite(rf, z_vals, rd, s: RenderSettings, noise_key):
         radiance_field_noise_std=s.radiance_field_noise_std,
         white_background=s.white_background,
         noise_key=noise_key,
+        final_dists=final_dists,
     )
 
 
@@ -275,8 +286,26 @@ def render_rays(
         ro, rd = ray_origins, ray_directions
 
     num_rays = ro.shape[0]
-    near = jnp.full((num_rays,), s.near, dtype=ro.dtype)
-    far = jnp.full((num_rays,), s.far, dtype=ro.dtype)
+    tightened = None
+    if s.aabb is not None and not s.use_ndc:
+        near, far = ray_aabb_interval(
+            ro, rd, s.aabb[:3], s.aabb[3:], s.near, s.far
+        )
+        # Rays whose interval WAS tightened end at the box exit, not the far
+        # plane; space beyond the box is known-empty, so their last sample
+        # gets its local bin width instead of the reference's 1e10 sentinel
+        # (an infinite slab there would make any residual boundary density
+        # fully opaque). Untightened (miss) rays keep exact reference
+        # semantics.
+        tightened = (far < s.far) | (near > s.near)
+    else:
+        near = jnp.full((num_rays,), s.near, dtype=ro.dtype)
+        far = jnp.full((num_rays,), s.far, dtype=ro.dtype)
+
+    def last_bin_or_sentinel(z):
+        if tightened is None:
+            return None
+        return jnp.where(tightened, z[..., -1] - z[..., -2], 1e10)
 
     z_vals = coarse_z_values(near, far, s.num_coarse, s.lindisp, dtype=ro.dtype)
     if s.perturb:
@@ -284,7 +313,8 @@ def render_rays(
 
     pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
     coarse = _render_stage(
-        model_coarse, params_coarse, pts, viewdirs, z_vals, rd, s, k_noise_c
+        model_coarse, params_coarse, pts, viewdirs, z_vals, rd, s, k_noise_c,
+        final_dists=last_bin_or_sentinel(z_vals),
     )
 
     fine = None
@@ -308,7 +338,8 @@ def render_rays(
         fine_params = params_fine if params_fine is not None else params_coarse
         fine_model = model_fine if model_fine is not None else model_coarse
         fine = _render_stage(
-            fine_model, fine_params, pts, viewdirs, z_all, rd, s, k_noise_f
+            fine_model, fine_params, pts, viewdirs, z_all, rd, s, k_noise_f,
+            final_dists=last_bin_or_sentinel(z_all),
         )
 
     return RayRenderResult(coarse, fine)

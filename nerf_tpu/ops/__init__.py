@@ -7,7 +7,7 @@ from .encoding import (
     positional_encoding,
 )
 from .math import cumprod_exclusive, img2mse, mse2psnr
-from .rays import get_ray_bundle, meshgrid_xy, ndc_rays
+from .rays import get_ray_bundle, meshgrid_xy, ndc_rays, ray_aabb_interval
 from .sampling import (
     coarse_z_values,
     perturb_z_values,
@@ -27,6 +27,7 @@ __all__ = [
     "get_ray_bundle",
     "meshgrid_xy",
     "ndc_rays",
+    "ray_aabb_interval",
     "coarse_z_values",
     "perturb_z_values",
     "sample_pdf",

@@ -85,3 +85,50 @@ def ndc_rays(height, width, focal_length, near, rays_o: jnp.ndarray, rays_d: jnp
     rays_o = jnp.stack([o0, o1, o2], axis=-1)
     rays_d = jnp.stack([d0, d1, d2], axis=-1)
     return rays_o, rays_d
+
+
+def ray_aabb_interval(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    aabb_min,
+    aabb_max,
+    near: float,
+    far: float,
+):
+    """Per-ray sample interval tightened to an axis-aligned bounding box.
+
+    Slab-method ray/box intersection (no reference equivalent — the
+    reference samples the full [near, far] interval on every ray,
+    train_utils.py:45-56). Returns ``(t_near, t_far)`` of shape
+    ``rays_o.shape[:-1]``: the intersection of [near, far] with the ray's
+    AABB crossing when it hits the box, and the untightened [near, far]
+    when it misses (miss rays thus render identically to the reference
+    path). Pure VPU math — static shapes, no gathers — so it is free next
+    to the MLP work it saves by concentrating samples on occupied space.
+    """
+    aabb_min = jnp.asarray(aabb_min, rays_o.dtype)
+    aabb_max = jnp.asarray(aabb_max, rays_o.dtype)
+    # Safe reciprocal: for |d_k| ~ 0 the slab is parallel; +/-inf from the
+    # true reciprocal would give correct min/max behavior but 0 * inf = NaN
+    # at boundaries, so substitute a huge finite slope instead.
+    inv_d = jnp.where(
+        jnp.abs(rays_d) > 1e-9, 1.0 / jnp.where(rays_d == 0, 1.0, rays_d), 1e12
+    )
+    t1 = (aabb_min - rays_o) * inv_d
+    t2 = (aabb_max - rays_o) * inv_d
+    t_enter = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    # Parallel-slab rays whose origin lies outside the slab never hit.
+    parallel_miss = jnp.any(
+        (jnp.abs(rays_d) <= 1e-9)
+        & ((rays_o < aabb_min) | (rays_o > aabb_max)),
+        axis=-1,
+    )
+    hit = (t_exit >= t_enter) & (t_exit > 0.0) & ~parallel_miss
+    t_near = jnp.clip(t_enter, near, far)
+    t_far = jnp.clip(t_exit, near, far)
+    # Keep a nonempty, ordered interval even for degenerate (tangent) hits.
+    t_far = jnp.maximum(t_far, t_near + 1e-6)
+    near_b = jnp.full_like(t_near, near)
+    far_b = jnp.full_like(t_far, far)
+    return jnp.where(hit, t_near, near_b), jnp.where(hit, t_far, far_b)

@@ -45,19 +45,28 @@ def volume_render_radiance_field(
     radiance_field_noise_std: float = 0.0,
     white_background: bool = False,
     noise_key: Optional[jax.Array] = None,
+    final_dists: Optional[jnp.ndarray] = None,
 ) -> RenderOutputs:
     """Composite a sampled radiance field into rgb/disparity/accumulation maps.
 
     radiance_field: (..., num_samples, 4) raw MLP outputs [r, g, b, sigma].
     depth_values:   (..., num_samples) sample depths along each ray.
     ray_directions: (..., 3) un-normalized ray directions.
+    final_dists:    optional (...,) per-ray thickness of the LAST sample,
+                    replacing the reference's 1e10 far sentinel. Used by
+                    AABB-tightened sampling (engine.renderer), where the
+                    last sample sits at the box exit — space beyond it is
+                    known-empty, so an infinite slab there would turn any
+                    residual boundary density fully opaque.
     """
     one_e_10 = jnp.array(1e10, dtype=depth_values.dtype)
+    last = (
+        jnp.broadcast_to(one_e_10, depth_values[..., :1].shape)
+        if final_dists is None
+        else final_dists[..., None].astype(depth_values.dtype)
+    )
     dists = jnp.concatenate(
-        [
-            depth_values[..., 1:] - depth_values[..., :-1],
-            jnp.broadcast_to(one_e_10, depth_values[..., :1].shape),
-        ],
+        [depth_values[..., 1:] - depth_values[..., :-1], last],
         axis=-1,
     )
     dists = dists * jnp.linalg.norm(ray_directions, axis=-1)[..., None]
