@@ -185,6 +185,18 @@ def test_train_fresh_resume_eval_metrics(scene_config, tmp_path):
     assert os.path.exists(os.path.join(savedir, "0001.png"))
     assert os.path.exists(os.path.join(savedir, "disparity", "0000.png"))
 
+    # Eval with empty-space acceleration: --tighten-aabb sweeps the field
+    # once and tightens every ray's interval to the occupied box.
+    savedir_aabb = str(tmp_path / "renders_aabb")
+    out = run_cli(
+        "eval_nerf.py", "--config", cfg_path,
+        "--checkpoint", os.path.join(rundir, "checkpoint00060.ntc"),
+        "--savedir", savedir_aabb, "--split", "val",
+        "--tighten-aabb", "0.5",
+    )
+    assert "density AABB (tau=0.5)" in out, out
+    assert os.path.exists(os.path.join(savedir_aabb, "0000.png"))
+
     # Metrics: compare renders against the on-disk val ground truth.
     cfg_yaml = open(cfg_path).read()
     basedir = [l.split(":", 1)[1].strip() for l in cfg_yaml.splitlines()
