@@ -22,6 +22,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -183,6 +184,19 @@ def main():
         "--overrides", type=str, nargs="*", default=None,
         help="Dotted-key value pairs, e.g. optimizer.lr 1e-3",
     )
+    parser.add_argument(
+        "--tighten-aabb", type=float, default=None, metavar="TAU",
+        help="Empty-space acceleration for CONTINUED training (requires a "
+             "checkpoint to resume from — the box comes from the trained "
+             "field): sweep the restored density field once, bound the "
+             "sigma > TAU region, and tighten every ray's sample interval "
+             "to its crossing of that box (train AND validation). The "
+             "2-phase fast-training recipe: train a warmup normally, then "
+             "resume with --tighten-aabb 2.0 and halved sample counts "
+             "(--overrides nerf.train.num_coarse 32 nerf.train.num_fine 32) "
+             "for ~2x the rays/s at equal quality on object-centric scenes. "
+             "Blender scenes only (NDC is incompatible).",
+    )
     args = parser.parse_args()
 
     # Multi-host: join the cluster BEFORE any backend init so jax.devices()
@@ -322,6 +336,29 @@ def main():
         )
         start_iter = int(restored["step"])
         print(f"resumed from {ckpt_path} at step {start_iter}")
+
+    if args.tighten_aabb is not None:
+        if settings.use_ndc:
+            raise SystemExit("--tighten-aabb is incompatible with NDC (LLFF) scenes")
+        if start_iter == 0:
+            raise SystemExit(
+                "--tighten-aabb needs a trained field to bound: resume from "
+                "a checkpoint (train a warmup phase first, or pass "
+                "--load-checkpoint)"
+            )
+        from nerf_tpu.engine import density_aabb
+
+        t_box = time.time()
+        box = density_aabb(
+            model_coarse, state.params_coarse, val_settings,
+            tau=args.tighten_aabb,
+        )
+        print(f"density AABB (tau={args.tighten_aabb}): "
+              f"[{box[0]:.2f},{box[1]:.2f},{box[2]:.2f}] - "
+              f"[{box[3]:.2f},{box[4]:.2f},{box[5]:.2f}] "
+              f"({time.time() - t_box:.1f}s)", flush=True)
+        settings = dataclasses.replace(settings, aabb=box)
+        val_settings = dataclasses.replace(val_settings, aabb=box)
 
     num_devices = len(jax.devices())
     batch_size = int(cfg.nerf.train.num_random_rays)
