@@ -94,6 +94,13 @@ def main():
              "samples for speed at equal quality. Blender scenes only "
              "(NDC rays are incompatible).",
     )
+    parser.add_argument(
+        "--aabb-sweep-bounds", type=float, nargs=6, default=None,
+        metavar=("X0", "Y0", "Z0", "X1", "Y1", "Z1"),
+        help="Density-sweep cube for --tighten-aabb (default (-1.5, 1.5)^3, "
+             "which covers the blender scenes). The sweep warns if the "
+             "occupied region touches these bounds (clipped geometry).",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config, args.overrides)
@@ -191,8 +198,15 @@ def main():
         from nerf_tpu.engine import density_aabb
 
         t0 = time.time()
+        sweep_kw = {}
+        if args.aabb_sweep_bounds is not None:
+            sweep_kw = dict(
+                bbox_min=tuple(args.aabb_sweep_bounds[:3]),
+                bbox_max=tuple(args.aabb_sweep_bounds[3:]),
+            )
         box = density_aabb(
-            model_coarse, params_coarse, settings, tau=args.tighten_aabb
+            model_coarse, params_coarse, settings, tau=args.tighten_aabb,
+            **sweep_kw,
         )
         print(f"density AABB (tau={args.tighten_aabb}): "
               f"[{box[0]:.2f},{box[1]:.2f},{box[2]:.2f}] - "

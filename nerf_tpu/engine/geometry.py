@@ -159,6 +159,11 @@ def density_aabb(
     ``RenderSettings.aabb`` for empty-space-skipping renders (the sample
     interval of every ray is tightened to its box crossing). Falls back to
     the sweep bounds when nothing exceeds ``tau`` (untrained field).
+
+    Warns (``UserWarning``) when the occupied region touches the sweep cube
+    on any face: geometry extending past the sweep bounds would be silently
+    clipped, and rays tightened onto that box would truncate real geometry —
+    re-run with wider bounds (the CLIs expose ``--aabb-sweep-bounds``).
     """
     grid_fn = make_sigma_grid_fn(
         model, settings, resolution, bbox_min, bbox_max, chunk
@@ -169,9 +174,29 @@ def density_aabb(
     hi = np.asarray(bbox_max, np.float64)
     if occupied.size == 0:
         return tuple(lo) + tuple(hi)
+    occ_lo = occupied.min(axis=0)
+    occ_hi = occupied.max(axis=0)
+    if np.any(occ_lo == 0) or np.any(occ_hi == resolution - 1):
+        import warnings
+
+        faces = [
+            f"{'xyz'[a]}{'-+'[side]}"
+            for a in range(3)
+            for side, touch in ((0, occ_lo[a] == 0), (1, occ_hi[a] == resolution - 1))
+            if touch
+        ]
+        lo_s = ", ".join(f"{v:g}" for v in lo)
+        hi_s = ", ".join(f"{v:g}" for v in hi)
+        warnings.warn(
+            f"density_aabb: occupied region (sigma > {tau}) touches the "
+            f"sweep bounds on face(s) {', '.join(faces)} — geometry may "
+            f"extend past [({lo_s}), ({hi_s})] and would be clipped; "
+            "widen the sweep bounds (--aabb-sweep-bounds).",
+            stacklevel=2,
+        )
     scale = (hi - lo) / (resolution - 1)
-    box_lo = lo + (occupied.min(axis=0) - 1) * scale
-    box_hi = lo + (occupied.max(axis=0) + 1) * scale
+    box_lo = lo + (occ_lo - 1) * scale
+    box_hi = lo + (occ_hi + 1) * scale
     box_lo = np.maximum(box_lo, lo)
     box_hi = np.minimum(box_hi, hi)
     return tuple(float(v) for v in box_lo) + tuple(float(v) for v in box_hi)

@@ -288,16 +288,24 @@ def render_rays(
     num_rays = ro.shape[0]
     tightened = None
     if s.aabb is not None and not s.use_ndc:
+        if s.num_coarse < 2:
+            # last_bin_or_sentinel reads z[..., -2]; a size-1 samples axis
+            # would raise an opaque trace-time IndexError.
+            raise ValueError(
+                "RenderSettings.aabb needs num_coarse >= 2 "
+                f"(got {s.num_coarse})"
+            )
         near, far = ray_aabb_interval(
             ro, rd, s.aabb[:3], s.aabb[3:], s.near, s.far
         )
-        # Rays whose interval WAS tightened end at the box exit, not the far
-        # plane; space beyond the box is known-empty, so their last sample
-        # gets its local bin width instead of the reference's 1e10 sentinel
-        # (an infinite slab there would make any residual boundary density
-        # fully opaque). Untightened (miss) rays keep exact reference
-        # semantics.
-        tightened = (far < s.far) | (near > s.near)
+        # Only rays whose interval ends BEFORE the far plane get the local
+        # bin width: past their box exit, space is known-empty, and the
+        # reference's 1e10 sentinel would make any residual boundary density
+        # fully opaque. Rays still ending at the far plane — misses AND
+        # near-only tightenings (box crossing extends past far) — keep exact
+        # reference sentinel semantics: for them the region beyond the last
+        # sample is NOT known-empty.
+        tightened = far < s.far
     else:
         near = jnp.full((num_rays,), s.near, dtype=ro.dtype)
         far = jnp.full((num_rays,), s.far, dtype=ro.dtype)

@@ -167,6 +167,90 @@ def test_density_aabb_bounds_the_blob():
     assert np.all(lo > -1.2) and np.all(hi < 1.2), box
 
 
+class _ConstModel:
+    """Constant density + color everywhere: makes the FINAL sample's dist
+    (bin width vs 1e10 sentinel) visible in the composited color."""
+
+    use_viewdirs = False
+    dim_dir = 0
+
+    def __init__(self, sigma=0.4):
+        self.sigma = sigma
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, enc):
+        sigma = jnp.full(enc.shape[:-1] + (1,), self.sigma, enc.dtype)
+        rgb_logit = jnp.full(enc.shape[:-1] + (3,), 1.0, enc.dtype)
+        return jnp.concatenate([rgb_logit, sigma], axis=-1)
+
+
+def test_near_only_tightening_keeps_far_sentinel():
+    """A ray whose box crossing extends PAST the far plane gets near-only
+    tightening: its interval still ends at the reference far plane, where
+    space beyond the last sample is NOT known-empty — so it must keep the
+    reference's 1e10 sentinel dist. Equivalent formulation: the render must
+    equal an aabb-free render over the same (tightened-near, far) interval,
+    which uses exact reference semantics."""
+    model = _ConstModel()
+    n = 8
+    ro = jnp.tile(jnp.asarray([[0.0, 0.0, 4.0]], jnp.float32), (n, 1))
+    rd = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    # near=2, far=6 => z in [2, -2]. Box z-range [-10, 1]: enter at t=3,
+    # exit at t=14 > far. Near tightens 2 -> 3; far stays 6.
+    box = (-5.0, -5.0, -10.0, 5.0, 5.0, 1.0)
+    s_box = dataclasses.replace(_blob_settings(16), aabb=box)
+    s_ref = dataclasses.replace(_blob_settings(16), near=3.0, far=6.0)
+    out_box = render_rays(model, {}, None, None, ro, rd, s_box, None)
+    out_ref = render_rays(model, {}, None, None, ro, rd, s_ref, None)
+    np.testing.assert_allclose(
+        np.asarray(out_box.coarse.rgb), np.asarray(out_ref.coarse.rgb),
+        rtol=1e-6, atol=1e-6,
+    )
+    # And the sentinel genuinely matters for this field: replacing it with
+    # the local bin width would change the composited color.
+    assert float(jnp.max(jnp.abs(out_box.coarse.weights[..., -1]))) > 0.1
+
+
+def test_aabb_requires_two_coarse_samples():
+    import pytest
+
+    model = _ConstModel()
+    ro, rd = _rays(4)
+    s = dataclasses.replace(
+        _blob_settings(1), aabb=(-1.0,) * 3 + (1.0,) * 3
+    )
+    with pytest.raises(ValueError, match="num_coarse >= 2"):
+        render_rays(model, {}, None, None, ro, rd, s, None)
+
+
+def test_density_aabb_warns_when_occupied_touches_sweep_bounds():
+    import pytest
+
+    # Blob hugging the +x sweep face: its sigma > tau region reaches the
+    # boundary vertex, so the sweep must warn that geometry may be clipped.
+    model = _BlobModel(center=(1.5, 0.0, 0.0), r=0.4)
+    with pytest.warns(UserWarning, match="touches the sweep bounds"):
+        box = density_aabb(
+            model, {}, _blob_settings(8), resolution=17,
+            bbox_min=(-1.5,) * 3, bbox_max=(1.5,) * 3, tau=0.1,
+        )
+    assert box[3] == 1.5  # clipped at the sweep face
+
+
+def test_density_aabb_interior_blob_does_not_warn():
+    import warnings
+
+    model = _BlobModel(center=(0.0, 0.0, 0.0), r=0.3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        density_aabb(
+            model, {}, _blob_settings(8), resolution=17,
+            bbox_min=(-1.5,) * 3, bbox_max=(1.5,) * 3, tau=0.1,
+        )
+
+
 def test_density_aabb_empty_field_falls_back_to_sweep_bounds():
     model = _BlobModel(sigma_peak=0.0)
     box = density_aabb(

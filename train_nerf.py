@@ -197,6 +197,13 @@ def main():
              "for ~2x the rays/s at equal quality on object-centric scenes. "
              "Blender scenes only (NDC is incompatible).",
     )
+    parser.add_argument(
+        "--aabb-sweep-bounds", type=float, nargs=6, default=None,
+        metavar=("X0", "Y0", "Z0", "X1", "Y1", "Z1"),
+        help="Density-sweep cube for --tighten-aabb (default (-1.5, 1.5)^3, "
+             "which covers the blender scenes). The sweep warns if the "
+             "occupied region touches these bounds (clipped geometry).",
+    )
     args = parser.parse_args()
 
     # Multi-host: join the cluster BEFORE any backend init so jax.devices()
@@ -349,9 +356,15 @@ def main():
         from nerf_tpu.engine import density_aabb
 
         t_box = time.time()
+        sweep_kw = {}
+        if args.aabb_sweep_bounds is not None:
+            sweep_kw = dict(
+                bbox_min=tuple(args.aabb_sweep_bounds[:3]),
+                bbox_max=tuple(args.aabb_sweep_bounds[3:]),
+            )
         box = density_aabb(
             model_coarse, state.params_coarse, val_settings,
-            tau=args.tighten_aabb,
+            tau=args.tighten_aabb, **sweep_kw,
         )
         print(f"density AABB (tau={args.tighten_aabb}): "
               f"[{box[0]:.2f},{box[1]:.2f},{box[2]:.2f}] - "
