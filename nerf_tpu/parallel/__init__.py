@@ -9,6 +9,11 @@ from .dp import (
     make_parallel_train_step,
 )
 from .geometry import make_parallel_sigma_grid_fn
+from .multiscene import (
+    make_parallel_multiscene_train_loop,
+    make_parallel_multiscene_train_step,
+    shard_multiscene_stores,
+)
 from .pose_dp import make_parallel_joint_train_loop, make_parallel_pose_opt_loop
 from .mesh import (
     DATA_AXIS,
@@ -35,6 +40,9 @@ __all__ = [
     "make_parallel_train_loop",
     "make_parallel_train_step",
     "make_parallel_joint_train_loop",
+    "make_parallel_multiscene_train_loop",
+    "make_parallel_multiscene_train_step",
     "make_parallel_pose_opt_loop",
     "make_parallel_sigma_grid_fn",
+    "shard_multiscene_stores",
 ]

@@ -12,8 +12,13 @@ efficiency (measured — docs/PARITY.md roofline), so the win there is
 operational: one process, one compile, simultaneous checkpoints.
 
 Composes with data parallelism: vmap over scenes inside, shard_map over rays
-outside (not wired by default; single-chip multi-scene is already a large
-utilization win).
+outside — ``make_parallel_multiscene_train_step`` / ``_loop`` below. Each
+scene's ray batch is sharded across the mesh's data axis, per-scene states
+replicate, and ONE pmean reduces the whole (S,)-batched gradient pytree over
+ICI per step (trajectory-equality vs the serial multiscene step is tested on
+the virtual 8-device mesh, tests/test_multiscene.py; the driver dryrun
+executes the sharded loop). Single-chip multi-scene is already a large
+utilization win; the DP wrapper adds ray-axis scale-out on real meshes.
 """
 
 from __future__ import annotations
@@ -23,10 +28,12 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.renderer import RenderSettings
 from ..engine.train import StepMetrics, TrainState, make_loss_fn
 from ..ops.math import mse2psnr
+from .mesh import DATA_AXIS
 
 
 def create_multiscene_state(
@@ -122,6 +129,150 @@ def make_multiscene_train_loop(
         return jax.lax.scan(body, state, None, length=steps_per_call)
 
     return jax.jit(loop, donate_argnums=(0,)) if jit else loop
+
+
+# ---------------------------------------------------------------------------
+# Multiscene x data parallelism: vmap over scenes INSIDE, shard_map over the
+# ray axis OUTSIDE. Per-scene params/optimizer state replicate across the
+# mesh; each scene's ray batch splits over the data axis; one pmean reduces
+# the whole (S,)-batched gradient pytree per step.
+
+
+def shard_multiscene_stores(mesh: Mesh, *arrays, axis: str = DATA_AXIS):
+    """Place (S, N, ...) per-scene ray stores with the RAY axis (1) sharded
+    across the mesh and the scene axis replicated-in-layout (each device
+    holds every scene's local ray shard)."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    out = tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def _make_multiscene_shard_step(model_coarse, model_fine, settings, optimizer, axis):
+    """One DP multiscene step on a single ray shard: per-scene local grads
+    (vmap over scenes) -> ONE pmean of the (S,)-batched gradient pytree over
+    the mesh -> per-scene update. The dp._make_shard_step structure with the
+    scene axis vmapped inside; same shared loss definition (make_loss_fn)."""
+    loss_fn = make_loss_fn(model_coarse, model_fine, settings)
+
+    def scene_grads(state: TrainState, ro, rd, target, key):
+        trainable = {"coarse": state.params_coarse, "fine": state.params_fine}
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, ro, rd, target, key
+        )
+
+    def scene_update(state: TrainState, grads):
+        trainable = {"coarse": state.params_coarse, "fine": state.params_fine}
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return TrainState(
+            state.step + 1, trainable["coarse"], trainable["fine"], opt_state
+        )
+
+    def shard_step(state: TrainState, ro, rd, target, key):
+        num_scenes = ro.shape[0]
+        keys = jax.random.split(key, num_scenes)
+        (loss, (closs, floss)), grads = jax.vmap(scene_grads)(
+            state, ro, rd, target, keys
+        )
+        # The DP allreduce: one pmean over the whole (S,)-batched pytree.
+        loss, closs, floss, grads = jax.lax.pmean((loss, closs, floss, grads), axis)
+        new_state = jax.vmap(scene_update)(state, grads)
+        return new_state, StepMetrics(loss, closs, floss, mse2psnr(loss))
+
+    return shard_step
+
+
+def make_parallel_multiscene_train_step(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array],
+              Tuple[TrainState, StepMetrics]]:
+    """Sharded scene-vmapped training step.
+
+    step(state, ro (S,B,3), rd (S,B,3), target (S,B,3), key)
+      -> (state, StepMetrics with (S,)-shaped fields)
+    with B (the per-scene GLOBAL ray batch) divisible by the mesh's data-axis
+    size and sharded on axis 1 (``shard_multiscene_stores``); state
+    replicated. With perturb/noise off this matches the serial multiscene
+    step on the same batch exactly (allreduce-of-shard-means == global mean;
+    tested on the virtual 8-device mesh)."""
+    shard_step = _make_multiscene_shard_step(
+        model_coarse, model_fine, settings, optimizer, axis
+    )
+
+    def keyed_step(state, ro, rd, target, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return shard_step(state, ro, rd, target, key)
+
+    sharded = jax.shard_map(
+        keyed_step,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_parallel_multiscene_train_loop(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    batch_size: int,
+    steps_per_call: int,
+    axis: str = DATA_AXIS,
+    sample_mode: str = "gather",
+):
+    """Sharded K-step multiscene scan: per-device per-scene ray sampling from
+    the local shard of each scene's store, gradient pmean over ICI every step
+    inside the compiled loop.
+
+    loop(state, ro (S,N,3), rd, tgt, base_key)
+      -> (state, StepMetrics with (steps_per_call, S)-shaped fields)
+    with the stores sharded on the RAY axis (1) across the mesh
+    (``shard_multiscene_stores``), state replicated, and ``batch_size`` the
+    per-scene GLOBAL batch (split evenly across devices)."""
+    if batch_size % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"per-scene batch {batch_size} not divisible by mesh axis "
+            f"{mesh.shape[axis]}"
+        )
+    local_batch = batch_size // mesh.shape[axis]
+    shard_step = _make_multiscene_shard_step(
+        model_coarse, model_fine, settings, optimizer, axis
+    )
+
+    def shard_loop(state: TrainState, ro_store, rd_store, tgt_store, base_key):
+        shard_id = jax.lax.axis_index(axis)
+
+        def body(carry, _):
+            st = carry
+            key = jax.random.fold_in(
+                jax.random.fold_in(base_key, st.step[0]), shard_id
+            )
+            k_sample, k_step = jax.random.split(key)
+            batch = sample_multiscene_batch(
+                k_sample, ro_store, rd_store, tgt_store, local_batch,
+                mode=sample_mode,
+            )
+            return shard_step(st, *batch, k_step)
+
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    sharded = jax.shard_map(
+        shard_loop,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def sample_multiscene_batch(

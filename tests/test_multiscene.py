@@ -141,6 +141,99 @@ def test_multiscene_loop_scans():
     assert np.isfinite(np.asarray(metrics.loss)).all()
 
 
+def test_parallel_multiscene_step_matches_serial():
+    """Multiscene x DP composition (vmap over scenes inside, shard_map over
+    rays outside): with perturb/noise off, the 8-shard step must reproduce
+    the serial multiscene step on the same (S, B, 3) batch exactly
+    (allreduce-of-shard-means == per-scene global mean)."""
+    from nerf_tpu.parallel import (
+        make_mesh,
+        make_parallel_multiscene_train_step,
+        replicate_tree,
+        shard_multiscene_stores,
+    )
+
+    settings, model, opt = _setup()
+    mesh = make_mesh()
+    S, B = 2, 32
+    rng = np.random.default_rng(3)
+    ro = jnp.asarray(rng.uniform(-1, 1, (S, B, 3)).astype(np.float32))
+    rd = jnp.asarray(rng.uniform(-1, 1, (S, B, 3)).astype(np.float32) - [0, 0, 1.5])
+    tgt = jnp.asarray(rng.uniform(0, 1, (S, B, 3)).astype(np.float32))
+
+    serial_step = make_multiscene_train_step(model, None, settings, opt)
+    par_step = make_parallel_multiscene_train_step(model, None, settings, opt, mesh)
+
+    # Both steps donate their state — build two independent identical states.
+    state_a = create_multiscene_state(model, None, opt, jax.random.PRNGKey(0), S)
+    state_b = replicate_tree(
+        mesh, create_multiscene_state(model, None, opt, jax.random.PRNGKey(0), S)
+    )
+    ro_s, rd_s, tgt_s = shard_multiscene_stores(mesh, ro, rd, tgt)
+
+    key = jax.random.PRNGKey(7)
+    s1, m1 = serial_step(state_a, ro, rd, tgt, key)
+    s2, m2 = par_step(state_b, ro_s, rd_s, tgt_s, key)
+
+    np.testing.assert_allclose(
+        np.asarray(m1.loss), np.asarray(m2.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.params_coarse["layer1"]["kernel"]),
+        np.asarray(s2.params_coarse["layer1"]["kernel"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    assert (np.asarray(s2.step) == 1).all()
+
+
+def test_parallel_multiscene_loop_runs_and_improves():
+    """The sharded K-step multiscene scan: per-device per-scene sampling from
+    the ray-axis-sharded stores, (K, S) metrics, loss decreasing."""
+    from nerf_tpu.parallel import (
+        make_mesh,
+        make_parallel_multiscene_train_loop,
+        replicate_tree,
+        shard_multiscene_stores,
+    )
+
+    settings, model, opt = _setup()
+    import dataclasses
+
+    settings = dataclasses.replace(
+        settings, perturb=True, radiance_field_noise_std=0.1
+    )
+    mesh = make_mesh()
+    S, N, B = 2, 128, 32
+    state = replicate_tree(
+        mesh, create_multiscene_state(model, None, opt, jax.random.PRNGKey(0), S)
+    )
+    loop = make_parallel_multiscene_train_loop(
+        model, None, settings, opt, mesh, batch_size=B, steps_per_call=20
+    )
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.uniform(-1, 1, (S, N, 3)).astype(np.float32))
+    rd = jnp.asarray(rng.uniform(-1, 1, (S, N, 3)).astype(np.float32) - [0, 0, 1.5])
+    tgt = jnp.asarray(rng.uniform(0, 1, (S, N, 3)).astype(np.float32))
+    ro, rd, tgt = shard_multiscene_stores(mesh, ro, rd, tgt)
+    state, metrics = loop(state, ro, rd, tgt, jax.random.PRNGKey(1))
+    losses = np.asarray(metrics.loss)
+    assert losses.shape == (20, S)
+    assert np.isfinite(losses).all()
+    assert losses[-1].mean() < losses[0].mean()
+    assert (np.asarray(state.step) == 20).all()
+
+
+def test_parallel_multiscene_loop_rejects_indivisible_batch():
+    from nerf_tpu.parallel import make_mesh, make_parallel_multiscene_train_loop
+
+    settings, model, opt = _setup()
+    with pytest.raises(ValueError, match="not divisible"):
+        make_parallel_multiscene_train_loop(
+            model, None, settings, opt, make_mesh(), batch_size=12,
+            steps_per_call=2,
+        )
+
+
 @pytest.mark.slow
 def test_multiscene_cli_checkpoint_export(tmp_path):
     """train_multiscene.py --save-dir writes one eval-compatible native

@@ -37,9 +37,12 @@ from nerf_tpu.engine.checkpoint import save_checkpoint
 from nerf_tpu.engine.renderer import RenderSettings
 from nerf_tpu.engine.train import make_optimizer
 from nerf_tpu.models import FlexibleNeRFModel
+from nerf_tpu.parallel import make_mesh, replicate_tree
 from nerf_tpu.parallel.multiscene import (
     create_multiscene_state,
     make_multiscene_train_loop,
+    make_parallel_multiscene_train_loop,
+    shard_multiscene_stores,
 )
 
 
@@ -131,11 +134,37 @@ def main():
     steps_per_call = max(1, min(args.print_every, args.iters))
     loops = {}
 
+    # Multiscene x DP: with >1 device, scenes stay vmapped inside and the
+    # per-scene ray batch shards over the mesh's data axis (one pmean per
+    # step over the (S,)-batched gradient pytree).
+    num_devices = len(jax.devices())
+    if num_devices > 1:
+        if args.batch % num_devices != 0:
+            raise SystemExit(
+                f"--batch {args.batch} must be divisible by the "
+                f"{num_devices}-device mesh"
+            )
+        mesh = make_mesh()
+        state = replicate_tree(mesh, state)
+        n_keep = n_min - n_min % num_devices
+        ro, rd, tgt = shard_multiscene_stores(
+            mesh, ro[:, :n_keep], rd[:, :n_keep], tgt[:, :n_keep]
+        )
+        print(f"data-parallel over {num_devices} devices, "
+              f"{args.batch} rays/scene/step")
+    else:
+        mesh = None
+
     def get_loop(k_steps):
         if k_steps not in loops:
-            loops[k_steps] = make_multiscene_train_loop(
-                model, model, settings, opt, args.batch, k_steps
-            )
+            if mesh is not None:
+                loops[k_steps] = make_parallel_multiscene_train_loop(
+                    model, model, settings, opt, mesh, args.batch, k_steps
+                )
+            else:
+                loops[k_steps] = make_multiscene_train_loop(
+                    model, model, settings, opt, args.batch, k_steps
+                )
         return loops[k_steps]
 
     if args.iters < 1:
