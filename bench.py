@@ -8,8 +8,13 @@ order puts the headline metrics first:
 
   1. train f32            -> "value" / "vs_baseline"        (the metric)
   2. train bf16           -> train_rays_per_sec_bf16 + TFLOP/s + MFU
-  3. numerics guard       -> pallas_vs_xla_psnr_db (Mosaic-regression gate)
-  4. sustained 800px render (production Pallas eval path)
+  3. numerics guard       -> pallas_vs_xla_psnr_db (Mosaic-regression gate).
+     The guard GATES stages 4-6: if it failed or never ran, those stages
+     rerun on the XLA parity path and the record carries
+     "pallas_degraded": true + "render_path": "xla" — a fast-but-wrong
+     kernel can never headline.
+  4. sustained 800px render (production Pallas eval path when the guard
+     passed) + render_vs_reference (see REFERENCE_RENDER_RAYS_PER_SEC)
   -- headline complete; extras only while wall-clock budget remains --
   5. 400px render, 6. 800px single-frame, 7. 800px XLA path, 8. multiscene
 
@@ -54,6 +59,16 @@ import jax.numpy as jnp
 REFERENCE_TRAIN_RAYS_PER_SEC = 11378.0  # 200_000 * 1024 rays / 5 h (see docstring)
 TRAIN_FLOPS_PER_RAY = 97e6              # fwd+bwd, 64+64 protocol (see docstring)
 PEAK_BF16_TFLOPS = 197.0                # TPU v5e (v5 lite) bf16 matmul peak
+# Reference render figure (denominator of render_vs_reference): the reference
+# publishes only "<1 s to ~30 s per image" depending on resolution
+# (README.md:59). Matching the span's slow end to the repo's maximum
+# advertised resolution gives 800x800 / 30 s = 21.3k rays/s — consistent with
+# the reference's own training throughput (~11.4k rays/s trained; forward-only
+# rendering is ~3x cheaper per ray => ~34k rays/s). This is the documented
+# primary figure; even crediting the absurdly generous reading (<1 s at
+# 800x800 = 640k rays/s) the sustained render multiple stays stated in
+# docs/PARITY.md ("Render north-star adjudication").
+REFERENCE_RENDER_RAYS_PER_SEC = 800 * 800 / 30.0
 # Same gate as the on-hardware kernel test (tests/test_tpu_kernels.py:148):
 # bf16 Pallas render vs bf16 XLA render of the same field.
 PALLAS_GUARD_MIN_PSNR_DB = 35.0
@@ -149,7 +164,7 @@ def bench_multiscene(num_scenes: int = 6, batch: int = 1024,
 
 
 def bench_render_pipelined(side: int = 800, frames: int = 8,
-                           chunksize: int = 0) -> float:
+                           chunksize: int = 0, use_pallas: bool = True) -> float:
     """Sustained render throughput with the eval CLI's 2-deep dispatch
     pipeline: frame i+1 is dispatched before frame i's image is fetched, so
     the host transfer (~150 ms for an 800px frame over the axon relay)
@@ -166,8 +181,9 @@ def bench_render_pipelined(side: int = 800, frames: int = 8,
     settings = RenderSettings(
         num_coarse=64, num_fine=64, perturb=False, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
-        chunksize=chunksize or side * side, compute_dtype="bfloat16",
-        use_pallas=True,
+        chunksize=chunksize or (side * side if use_pallas else 65536),
+        compute_dtype="bfloat16",
+        use_pallas=use_pallas,
     )
     model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     pc = model.init(jax.random.PRNGKey(0))
@@ -430,18 +446,36 @@ def _stage_guard(r: dict) -> None:
     r["pallas_numerics_ok"] = bool(psnr > PALLAS_GUARD_MIN_PSNR_DB)
 
 
+def _use_pallas_path(r: dict) -> bool:
+    """The numerics guard GATES the render headline: Pallas-path numbers are
+    reportable only when the guard ran this process AND passed. A failed or
+    missing guard (Mosaic regression, guard-stage relay error) degrades every
+    render stage to the XLA parity path and marks the record, so a
+    fast-but-wrong kernel can never produce a headline render number
+    (tests/test_bench_harness.py::test_corrupted_kernel_never_headlines)."""
+    if r.get("pallas_numerics_ok") is True:
+        return True
+    r["pallas_degraded"] = True
+    return False
+
+
 def _stage_render_800_sustained(r: dict) -> None:
-    rps = bench_render_pipelined(800)
+    use_pallas = _use_pallas_path(r)
+    rps = bench_render_pipelined(800, use_pallas=use_pallas)
+    r["render_path"] = "pallas" if use_pallas else "xla"
     r["render_rays_per_sec_800px_sustained"] = round(rps, 1)
     r["render_sec_per_frame_800px_sustained"] = round(800 * 800 / rps, 3)
+    r["render_vs_reference"] = round(rps / REFERENCE_RENDER_RAYS_PER_SEC, 1)
 
 
 def _stage_render_400(r: dict) -> None:
-    r["render_rays_per_sec_400px"] = round(bench_render(400), 1)
+    r["render_rays_per_sec_400px"] = round(
+        bench_render(400, use_pallas=_use_pallas_path(r)), 1
+    )
 
 
 def _stage_render_800(r: dict) -> None:
-    rps = bench_render(800)
+    rps = bench_render(800, use_pallas=_use_pallas_path(r))
     r["render_rays_per_sec_800px"] = round(rps, 1)
     r["render_sec_per_frame_800px"] = round(800 * 800 / rps, 3)
 

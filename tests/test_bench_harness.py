@@ -91,6 +91,87 @@ def test_record_is_cumulative_across_stage_failures(monkeypatch, capsys):
     assert results["stages_completed"] == ["train_f32"]
 
 
+def test_corrupted_kernel_never_headlines(monkeypatch, capsys):
+    """A deliberately corrupted Pallas kernel (guard PSNR below the gate) can
+    never produce a Pallas-path render headline: the render stages must fall
+    back to the XLA parity path and mark the record degraded."""
+    calls = {}
+
+    monkeypatch.setattr(bench, "bench_numerics_guard", lambda: 5.0)
+
+    def fake_pipelined(side, use_pallas=True):
+        calls["sustained_use_pallas"] = use_pallas
+        return 1_000_000.0
+
+    def fake_render(side, use_pallas=True):
+        calls.setdefault("render_use_pallas", []).append(use_pallas)
+        return 500_000.0
+
+    monkeypatch.setattr(bench, "bench_render_pipelined", fake_pipelined)
+    monkeypatch.setattr(bench, "bench_render", fake_render)
+
+    def set_value(r):
+        r["value"] = 1.0
+        r["vs_baseline"] = 1.0
+
+    _with_stages(
+        monkeypatch,
+        [
+            ("train_f32", 1, set_value),
+            ("pallas_guard", 1, bench._stage_guard),
+            ("render_800_sustained", 1, bench._stage_render_800_sustained),
+        ],
+        [
+            ("render_400", 1, bench._stage_render_400),
+            ("render_800", 1, bench._stage_render_800),
+        ],
+    )
+    results = bench.main(time.monotonic() + 120)
+    out = _last_json(capsys)
+    assert out["pallas_numerics_ok"] is False
+    assert out["pallas_degraded"] is True
+    assert out["render_path"] == "xla"
+    assert calls["sustained_use_pallas"] is False
+    assert calls["render_use_pallas"] == [False, False]
+    # The (XLA-path) numbers are still recorded — degraded, not dropped.
+    assert out["render_rays_per_sec_800px_sustained"] == 1_000_000.0
+    assert results["stages_completed"][-1] == "render_800"
+
+
+def test_missing_guard_degrades_render_to_xla(monkeypatch):
+    """If the guard stage never landed (relay error), render stages must be
+    conservative: XLA path + degraded marker, never silently Pallas."""
+    captured = {}
+    monkeypatch.setattr(
+        bench, "bench_render_pipelined",
+        lambda side, use_pallas=True: captured.setdefault("up", use_pallas) or 1.0,
+    )
+    r = {}
+    bench._stage_render_800_sustained(r)
+    assert captured["up"] is False
+    assert r["pallas_degraded"] is True and r["render_path"] == "xla"
+
+
+def test_healthy_guard_keeps_pallas_path(monkeypatch):
+    captured = {}
+    monkeypatch.setattr(bench, "bench_numerics_guard", lambda: 40.0)
+    monkeypatch.setattr(
+        bench, "bench_render_pipelined",
+        lambda side, use_pallas=True: captured.setdefault("up", use_pallas) and 2.0,
+    )
+    r = {}
+    bench._stage_guard(r)
+    bench._stage_render_800_sustained(r)
+    assert r["pallas_numerics_ok"] is True
+    assert captured["up"] is True
+    assert r["render_path"] == "pallas"
+    assert "pallas_degraded" not in r
+    # render_vs_reference rides the sustained stage (north-star adjudication).
+    assert r["render_vs_reference"] == round(
+        2.0 / bench.REFERENCE_RENDER_RAYS_PER_SEC, 1
+    )
+
+
 def test_soft_watchdog_interrupts_python_level_stall(monkeypatch, capsys):
     def set_value(r):
         r["value"] = 1.0
