@@ -5,7 +5,9 @@ from .llff import load_llff_data
 from .poses import pose_spherical, spherical_render_poses
 from .rays_store import (
     build_ray_store,
+    is_reference_cache_dir,
     load_ray_cache,
+    load_reference_cache_dir,
     save_ray_cache,
     shuffle_ray_store,
 )
@@ -24,7 +26,9 @@ __all__ = [
     "pose_spherical",
     "spherical_render_poses",
     "build_ray_store",
+    "is_reference_cache_dir",
     "load_ray_cache",
+    "load_reference_cache_dir",
     "save_ray_cache",
     "shuffle_ray_store",
     "SyntheticDataset",

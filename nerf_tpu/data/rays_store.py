@@ -114,6 +114,76 @@ def save_ray_cache(
     os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
 
 
+def is_reference_cache_dir(path: str) -> bool:
+    """True when ``path`` is a reference-format cache directory: a dir whose
+    ``train/`` subdir holds per-image ``*.data`` torch.save files (written by
+    reference ``cache_dataset.py:73-115``)."""
+    train_dir = os.path.join(path, "train")
+    if not os.path.isdir(train_dir):
+        return False
+    return any(name.endswith(".data") for name in os.listdir(train_dir))
+
+
+def load_reference_cache_dir(path: str):
+    """Ingest a reference-format ray-cache directory into the flat ray store.
+
+    Behavioral parity target: the reference's cachedir training path
+    (``train_nerf.py:175-193``) consumes ``train/*.data`` files written by
+    ``cache_dataset.py:73-115`` — each a ``torch.save`` dict with keys
+    ``height``/``width``/``focal_length``/``ray_bundle`` (2, ..., 3) /
+    ``target`` (..., 3 or 4). Files are parsed torch-free via
+    ``engine.torch_reader``.
+
+    Note the reference's variation-overwrite bug (``cache_dataset.py:112-114``:
+    the per-variation save path is unconditionally clobbered with the
+    per-image path), so every image contributes exactly one ``.data`` file;
+    ingest reads each file once — a cache produced by any reference
+    invocation yields no duplicate rays here. Nested per-variation files
+    (the dead ``NNNN/NNNN/.data`` layout) are also swept up if present.
+
+    Returns ``(ray_origins, ray_directions, targets, meta, extras)`` with the
+    same contract as :func:`load_ray_cache`; ``extras`` is empty (the
+    reference cache stores val/test as ray bundles without poses, so
+    full-image validation cannot be reconstructed from it).
+    """
+    from ..engine.torch_reader import load_torch_file  # noqa: PLC0415
+
+    train_dir = os.path.join(path, "train")
+    files = sorted(
+        os.path.join(root, name)
+        for root, _dirs, names in os.walk(train_dir)
+        for name in names
+        if name.endswith(".data")
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no .data files under {train_dir} (not a reference cache dir?)"
+        )
+    origins, directions, targets = [], [], []
+    meta = None
+    for fname in files:
+        d = load_torch_file(fname)
+        bundle = np.asarray(d["ray_bundle"], np.float32)
+        origins.append(bundle[0].reshape(-1, 3))
+        directions.append(bundle[1].reshape(-1, 3))
+        targets.append(
+            np.asarray(d["target"], np.float32)[..., :3].reshape(-1, 3)
+        )
+        if meta is None:
+            meta = {
+                "height": int(d["height"]),
+                "width": int(d["width"]),
+                "focal": float(d["focal_length"]),
+            }
+    return (
+        np.concatenate(origins),
+        np.concatenate(directions),
+        np.concatenate(targets),
+        meta,
+        {},
+    )
+
+
 def load_ray_cache(path: str):
     """Load a ray cache. Returns (ray_origins, ray_directions, targets, meta, extras)."""
     with np.load(path) as data:

@@ -32,6 +32,7 @@ pinned bit-for-bit over every shipped pretrained checkpoint by
 
 from __future__ import annotations
 
+import codecs
 import io
 import pickle
 import struct
@@ -139,6 +140,15 @@ _ALLOWED = {
     ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
     ("collections", "OrderedDict"): OrderedDict,
     ("torch.serialization", "_get_layout"): lambda name: None,
+    # Data-only numpy scalar reconstruction: reference ray caches
+    # (cache_dataset.py:104-110) store focal_length as a numpy float, which
+    # torch.save pickles via numpy.core.multiarray.scalar(dtype, bytes).
+    ("numpy.core.multiarray", "scalar"): np.core.multiarray.scalar,
+    ("numpy._core.multiarray", "scalar"): np.core.multiarray.scalar,
+    ("numpy", "dtype"): np.dtype,
+    # protocol-2 pickles of numpy scalars carry the raw bytes as a latin-1
+    # str rebuilt via _codecs.encode — pure data transcoding, no execution.
+    ("_codecs", "encode"): codecs.encode,
 }
 
 

@@ -235,6 +235,53 @@ def test_cache_then_train_from_cache(blender_scene, scene_config, tmp_path):
     assert os.path.exists(os.path.join(logdir, "cli_e2e", "checkpoint00020.ntc"))
 
 
+def test_train_from_reference_format_cache(blender_scene, scene_config,
+                                           tmp_path):
+    """A reference-produced cache dir (train/*.data torch.save files, ref
+    cache_dataset.py:73-115) feeds train_nerf.py --overrides dataset.cachedir
+    directly — the reference's cachedir surface (train_nerf.py:175-193)."""
+    import torch
+
+    from nerf_tpu.data import build_ray_store, load_blender_data
+
+    images, poses, _, hwf, i_split = load_blender_data(blender_scene)
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    cachedir = tmp_path / "refcache"
+    (cachedir / "train").mkdir(parents=True)
+    for idx in i_split[0]:
+        ro, rd, tgt = build_ray_store(
+            images[idx : idx + 1], poses[idx : idx + 1], H, W, focal
+        )
+        torch.save(
+            {
+                "height": H,
+                "width": W,
+                "focal_length": np.float64(focal),
+                "ray_bundle": torch.stack(
+                    [torch.from_numpy(ro), torch.from_numpy(rd)], dim=0
+                ),
+                "target": torch.from_numpy(tgt),
+            },
+            str(cachedir / "train" / f"{idx:04d}.data"),
+        )
+
+    cfg_path, _ = scene_config
+    logdir = str(tmp_path / "refcache_logs")
+    out = run_cli(
+        "train_nerf.py", "--config", cfg_path,
+        "--overrides",
+        "dataset.cachedir", str(cachedir),
+        "experiment.logdir", logdir,
+        "experiment.train_iters", "20",
+        "experiment.save_every", "20",
+        "experiment.validate_every", "20",
+    )
+    assert "ray store:" in out
+    assert os.path.exists(
+        os.path.join(logdir, "cli_e2e", "checkpoint00020.ntc")
+    )
+
+
 def test_distill_dataset_cli(scene_config, tmp_path):
     """distill_dataset.py: a trained checkpoint becomes a blender-format
     dataset a fresh run can train on (the quality-parity loop, CI scale)."""

@@ -10,9 +10,11 @@ import pytest
 from nerf_tpu.data import (
     build_ray_store,
     composite_white_background,
+    is_reference_cache_dir,
     load_blender_data,
     load_llff_data,
     load_ray_cache,
+    load_reference_cache_dir,
     pose_spherical,
     save_ray_cache,
 )
@@ -126,6 +128,57 @@ def test_ray_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(t, t2)
     assert meta2 == meta
     assert extras["val_images"].shape == (2, 4, 4, 3)
+
+
+@pytest.fixture
+def reference_cache_dir(tmp_path):
+    """Write a reference-format ray cache: train/NNNN.data torch.save dicts
+    exactly as reference cache_dataset.py:73-115 produces them (ray_bundle
+    stacked (2, N, 3) torch tensors, RGBA target, numpy-float focal)."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    os.makedirs(tmp_path / "cache" / "train")
+    per_file = []
+    for idx in range(3):
+        ro = rng.normal(size=(5, 3)).astype(np.float32)
+        rd = rng.normal(size=(5, 3)).astype(np.float32)
+        tgt = rng.uniform(0, 1, (5, 4)).astype(np.float32)
+        torch.save(
+            {
+                "height": 8,
+                "width": 8,
+                "focal_length": np.float64(5.25),
+                "ray_bundle": torch.stack(
+                    [torch.from_numpy(ro), torch.from_numpy(rd)], dim=0
+                ),
+                "target": torch.from_numpy(tgt),
+            },
+            str(tmp_path / "cache" / "train" / f"{idx:04d}.data"),
+        )
+        per_file.append((ro, rd, tgt[:, :3]))
+    return str(tmp_path / "cache"), per_file
+
+
+def test_reference_cache_dir_ingest(reference_cache_dir, tmp_path):
+    cache, per_file = reference_cache_dir
+    assert is_reference_cache_dir(cache)
+    assert not is_reference_cache_dir(str(tmp_path))  # no train/ subdir
+    ro, rd, t, meta, extras = load_reference_cache_dir(cache)
+    assert ro.shape == (15, 3) and rd.shape == (15, 3) and t.shape == (15, 3)
+    # Files ingest in sorted order, alpha channel dropped (ref
+    # train_nerf.py:183 takes target[..., :3]).
+    np.testing.assert_array_equal(ro, np.concatenate([p[0] for p in per_file]))
+    np.testing.assert_array_equal(t, np.concatenate([p[2] for p in per_file]))
+    assert meta == {"height": 8, "width": 8, "focal": 5.25}
+    assert extras == {}
+
+
+def test_reference_cache_dir_empty_raises(tmp_path):
+    os.makedirs(tmp_path / "train")
+    assert not is_reference_cache_dir(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        load_reference_cache_dir(str(tmp_path))
 
 
 def test_spherify_poses():

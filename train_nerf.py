@@ -40,9 +40,11 @@ from nerf_tpu.data import (
     build_ray_store,
     composite_white_background,
     flatten_rays,
+    is_reference_cache_dir,
     load_blender_data,
     load_llff_data,
     load_ray_cache,
+    load_reference_cache_dir,
     make_synthetic_dataset,
     shuffle_ray_store,
 )
@@ -80,6 +82,21 @@ def load_dataset(cfg):
     if getattr(ds, "cachedir", None):
         cache_path = ds.cachedir
         if os.path.isdir(cache_path):
+            if is_reference_cache_dir(cache_path):
+                # Reference-format cache (train/*.data torch.save files,
+                # reference cache_dataset.py:73-115) — ingest torch-free.
+                ro, rd, targets, meta, extras = load_reference_cache_dir(
+                    cache_path
+                )
+                return {
+                    "mode": "cached",
+                    "rays": (ro, rd, targets),
+                    "hwf": (meta["height"], meta["width"], meta["focal"]),
+                    "near": ds.near,
+                    "far": ds.far,
+                    "val_images": None,
+                    "val_poses": None,
+                }
             for name in ("rays.npz", "rays.nrc"):
                 cand = os.path.join(cache_path, name)
                 if os.path.exists(cand):
