@@ -69,9 +69,13 @@ PEAK_BF16_TFLOPS = 197.0                # TPU v5e (v5 lite) bf16 matmul peak
 # 800x800 = 640k rays/s) the sustained render multiple stays stated in
 # docs/PARITY.md ("Render north-star adjudication").
 REFERENCE_RENDER_RAYS_PER_SEC = 800 * 800 / 30.0
-# Same gate as the on-hardware kernel test (tests/test_tpu_kernels.py:148):
-# bf16 Pallas render vs bf16 XLA render of the same field.
-PALLAS_GUARD_MIN_PSNR_DB = 35.0
+# bf16 Pallas render vs bf16 XLA render of the same field. The guard's
+# opacified-random protocol (seeds 0/1) reads a deterministic ~38.9 dB when
+# healthy (seed-dependent 38.9-46.4; the trained checkpoint agrees at ~53 dB
+# — full reconciliation in docs/PARITY.md "Numerics-guard floor"). Gate sits
+# 1.4 dB under the healthy floor; real Mosaic regressions drop agreement by
+# tens of dB, not one (tools/guard_floor_probe.py).
+PALLAS_GUARD_MIN_PSNR_DB = 37.5
 
 
 def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
@@ -277,8 +281,9 @@ def bench_numerics_guard(side: int = 128) -> float:
     bf16) and return the PSNR between the two fine images. Catches Mosaic
     regressions (bf16-default dots, reassociation, layout casts — the bug
     class only hardware exhibits, docs/PARITY.md) before a Pallas-path
-    render number is reported. Healthy: > PALLAS_GUARD_MIN_PSNR_DB (35),
-    the same gate as tests/test_tpu_kernels.py."""
+    render number is reported. Healthy: deterministically ~38.9 dB on this
+    protocol; gate at PALLAS_GUARD_MIN_PSNR_DB (37.5) — see docs/PARITY.md
+    "Numerics-guard floor"."""
     import numpy as np
 
     from nerf_tpu.data import pose_spherical

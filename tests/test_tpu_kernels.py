@@ -145,4 +145,8 @@ def test_full_pallas_image_path_on_chip(tpu_backend):
     )(pc, pf, ro, rd)
     a, b = np.asarray(pal["rgb_fine"]), np.asarray(xla["rgb_fine"])
     assert np.isfinite(a).all()
-    assert psnr(a, b) > 35.0, f"pallas vs xla image PSNR {psnr(a, b):.1f} dB"
+    # Trained-checkpoint Pallas-vs-XLA agreement measured ~53 dB across
+    # poses/resolutions (tools/guard_floor_probe.py, PARITY "Numerics-guard
+    # floor"); 48 leaves 5 dB for compiler-version drift while still
+    # catching any real Mosaic regression (tens-of-dB drops).
+    assert psnr(a, b) > 48.0, f"pallas vs xla image PSNR {psnr(a, b):.1f} dB"
