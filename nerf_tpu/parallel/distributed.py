@@ -68,17 +68,20 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def process_local_rows(arr, sharding, global_shape=None):
-    """Extract the rows of a (host-replicated) global array owned by THIS
-    process's devices, in device order — the ``local_data`` contract of
+def process_local_rows(arr, sharding, global_shape=None, axis=0):
+    """Extract the slices (along ``axis``) of a (host-replicated) global
+    array owned by THIS process's devices, in device order — the
+    ``local_data`` contract of
     ``jax.make_array_from_process_local_data``."""
     import numpy as np
 
     arr = np.asarray(arr)
     shape = global_shape or arr.shape
     idx_map = sharding.addressable_devices_indices_map(shape)
-    row_slices = sorted(
-        {idx[0] for idx in idx_map.values()},
+    slices = sorted(
+        {idx[axis] for idx in idx_map.values()},
         key=lambda s: (s.start or 0),
     )
-    return np.concatenate([arr[s] for s in row_slices], axis=0)
+    return np.concatenate(
+        [arr[(slice(None),) * axis + (s,)] for s in slices], axis=axis
+    )

@@ -77,8 +77,24 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = DATA_AXIS):
 
 
 def replicate_tree(mesh: Mesh, tree):
-    """Replicate a pytree (params / train state) onto every mesh device."""
+    """Replicate a pytree (params / train state) onto every mesh device.
+
+    Multi-host: ``device_put`` to a multi-process sharding runs a
+    cross-process assert_equal (a Gloo allgather per leaf) that deadlines
+    when processes arrive skewed (30 s timeout; one core compiling two
+    processes serially can exceed it) — build each leaf from local data
+    instead, which never communicates."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sharding, x, x.shape
+            )
+
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -141,9 +141,28 @@ def make_multiscene_train_loop(
 def shard_multiscene_stores(mesh: Mesh, *arrays, axis: str = DATA_AXIS):
     """Place (S, N, ...) per-scene ray stores with the RAY axis (1) sharded
     across the mesh and the scene axis replicated-in-layout (each device
-    holds every scene's local ray shard)."""
+    holds every scene's local ray shard).
+
+    Multi-host: a bare ``device_put`` to a sharding spanning non-addressable
+    devices round-trips a cross-process assert_equal (a Gloo allgather that
+    deadlines when processes reach it at skewed times — seen as a 30 s
+    ``cpu:gloo`` timeout in the 2-process test); build the global array from
+    each process's local ray slices instead, as ``shard_batch`` does."""
     sharding = NamedSharding(mesh, P(None, axis))
-    out = tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        from .distributed import process_local_rows
+
+        out = tuple(
+            jax.make_array_from_process_local_data(
+                sharding, process_local_rows(a, sharding, axis=1),
+                np.shape(a),
+            )
+            for a in arrays
+        )
+    else:
+        out = tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
