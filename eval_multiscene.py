@@ -3,8 +3,11 @@
 
 The eval counterpart of train_multiscene.py: given a root of per-scene
 checkpoints (as written by `train_multiscene.py --save-dir`) and a root of
-per-scene blender datasets, renders each scene's held-out split and reports
-per-scene PSNR/SSIM against the ground-truth images. Scenes with the same
+per-scene datasets, renders each scene's held-out split and reports
+per-scene PSNR/SSIM against the ground-truth images. LLFF scenes are
+auto-detected (a `poses_bounds.npy` in the scene's data dir) and evaluated
+under the --llff-config NDC protocol, so one invocation scores a mixed
+blender + LLFF run — the full 7-pretrained-scene table. Scenes with the same
 intrinsics share one jit-compiled render function (parameters are pytree
 arguments), so the ~40 s TPU compile is paid once per distinct (h, w,
 focal) — evaluating 6 like-protocol scenes costs barely more than
@@ -35,7 +38,11 @@ from nerf_tpu.config import (
     model_from_config,
     render_settings_from_config,
 )
-from nerf_tpu.data import composite_white_background, load_blender_data
+from nerf_tpu.data import (
+    composite_white_background,
+    load_blender_data,
+    load_llff_data,
+)
 from nerf_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
 from nerf_tpu.engine.renderer import make_pose_render_fn
 from nerf_tpu.utils import psnr, ssim
@@ -79,9 +86,19 @@ def main():
                         default="float32")
     parser.add_argument("--renderer", choices=["pallas", "xla"],
                         default="pallas")
+    parser.add_argument(
+        "--llff-config", default="configs/fern_lowres.yml",
+        help="Protocol config for LLFF scenes (auto-detected per scene by a "
+             "poses_bounds.npy in its data dir; NDC settings + model shape).",
+    )
+    parser.add_argument(
+        "--llff-factor", type=int, default=1,
+        help="LLFF image downsample factor (1 for distilled sets).",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config)
+    llff_cfg = None  # loaded lazily on the first LLFF scene
     if args.scenes is not None:
         scenes = args.scenes
         if not scenes:
@@ -94,49 +111,74 @@ def main():
     if not scenes:
         raise SystemExit(f"no scene dirs under {args.ckpt_root}")
 
-    model_coarse = model_from_config(cfg.models.coarse)
-    model_fine = (
-        model_from_config(cfg.models.fine) if "fine" in cfg.models else None
-    )
-
-    # One compiled pose->image renderer per distinct (h, w, focal): scenes
-    # sharing intrinsics (the normal multi-scene case) share one compile;
-    # a scene with different intrinsics gets its own instead of silently
-    # rendering with another scene's camera.
+    # One compiled pose->image renderer per distinct (protocol, h, w,
+    # focal): scenes sharing a protocol + intrinsics (the normal multi-scene
+    # case) share one compile; a scene with different intrinsics gets its
+    # own instead of silently rendering with another scene's camera. LLFF
+    # scenes use the --llff-config protocol (NDC is a compile-time split).
     render_cache = {}
 
-    def get_render_fn(h, w, focal):
-        key = (h, w, round(focal, 6))
+    def get_render_fn(scene_cfg, tag, h, w, focal):
+        key = (tag, h, w, round(focal, 6))
         if key not in render_cache:
             settings = dataclasses.replace(
-                render_settings_from_config(cfg, "validation", hwf=(h, w, focal)),
+                render_settings_from_config(
+                    scene_cfg, "validation", hwf=(h, w, focal)
+                ),
                 compute_dtype=args.precision,
                 use_pallas=(args.renderer == "pallas"),
             )
+            mc = model_from_config(scene_cfg.models.coarse)
+            mf = (
+                model_from_config(scene_cfg.models.fine)
+                if "fine" in scene_cfg.models else None
+            )
             render_cache[key] = make_pose_render_fn(
-                model_coarse, model_fine, settings, h, w, focal, output="f32"
+                mc, mf, settings, h, w, focal, output="f32"
             )
         return render_cache[key]
 
     results = {}
     t0 = time.time()
     for scene in scenes:
-        images, poses, _, hwf, i_split = load_blender_data(
-            os.path.join(args.data_root, scene), half_res=args.half_res,
-        )
-        # Composite RGBA ground truth onto white only when the renderer
-        # composites onto white too (cfg.nerf.validation.white_background,
-        # same gating as training) — otherwise PSNR compares against a
-        # background the model was never asked to produce. No-op for RGB
-        # datasets (e.g. distilled sets).
-        if bool(cfg.nerf.validation.white_background):
-            images = composite_white_background(images)
-        idx = {"train": 0, "val": 1, "test": 2}[args.split]
-        sel = i_split[idx]
+        scene_dir = os.path.join(args.data_root, scene)
+        is_llff = os.path.exists(os.path.join(scene_dir, "poses_bounds.npy"))
+        if is_llff:
+            if llff_cfg is None:
+                llff_cfg = load_config(args.llff_config)
+            images, poses_full, _bds, _rp, _ = load_llff_data(
+                scene_dir, factor=args.llff_factor
+            )
+            hwf = poses_full[0, :3, -1]
+            poses = poses_full[:, :3, :4]
+            images = images[..., :3]
+            # Reference llffhold=8 split: every 8th view is held out
+            # (train_nerf.py:122-131); val and test both read the holdout.
+            i_hold = np.arange(images.shape[0])[::8]
+            sel = (
+                np.array([i for i in range(images.shape[0])
+                          if i not in i_hold])
+                if args.split == "train" else i_hold
+            )
+            scene_cfg, tag = llff_cfg, "llff"
+        else:
+            images, poses, _, hwf, i_split = load_blender_data(
+                scene_dir, half_res=args.half_res,
+            )
+            # Composite RGBA ground truth onto white only when the renderer
+            # composites onto white too (cfg.nerf.validation
+            # .white_background, same gating as training) — otherwise PSNR
+            # compares against a background the model was never asked to
+            # produce. No-op for RGB datasets (e.g. distilled sets).
+            if bool(cfg.nerf.validation.white_background):
+                images = composite_white_background(images)
+            idx = {"train": 0, "val": 1, "test": 2}[args.split]
+            sel = i_split[idx]
+            scene_cfg, tag = cfg, "blender"
         if len(sel) == 0:
             raise SystemExit(f"scene {scene!r} has no views in split {args.split!r}")
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
-        render_fn = get_render_fn(h, w, focal)
+        render_fn = get_render_fn(scene_cfg, tag, h, w, focal)
 
         ckpt_path = latest_checkpoint(os.path.join(args.ckpt_root, scene))
         if ckpt_path is None:

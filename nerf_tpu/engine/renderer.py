@@ -195,9 +195,17 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
             and s.log_sampling_dir and s.pe_alpha_xyz < 0.0):
         from ..ops.pallas.mlp import supports_fused
         from ..ops.pallas.mlp_t import fused_mlp_t
+        from ..ops.pallas.paper_t import fused_paper_mlp_t, supports_fused_paper
 
         if supports_fused(model, params) and pts.ndim == 3:
             return fused_mlp_t(params, pts, viewdirs, compute_dtype=s.compute_dtype)
+        if supports_fused_paper(model, params) and pts.ndim == 3:
+            return fused_paper_mlp_t(
+                params, pts, viewdirs,
+                num_freq_xyz=model.num_encoding_fn_xyz,
+                num_freq_dir=model.num_encoding_fn_dir,
+                compute_dtype=s.compute_dtype,
+            )
 
     def eval_fn(p, pts_, viewdirs_):
         enc = encode_points(pts_, viewdirs_, s)

@@ -442,6 +442,79 @@ nerf:
     assert img.shape == (25, 25, 3)
 
 
+@pytest.mark.skipif(not os.path.exists(FERN_CKPT), reason="pretrained absent")
+def test_multiscene_mixed_blender_llff_cli(blender_scene, tmp_path):
+    """The all-7-scenes-in-one-invocation workload at CI scale: ONE
+    train_multiscene.py run trains a blender group AND an LLFF/NDC group
+    (two compiled programs, one process), then ONE eval_multiscene.py run
+    scores both — BASELINE.json config 5 taken literally."""
+    dataroot = tmp_path / "data"
+    dataroot.mkdir()
+    (dataroot / "alpha").symlink_to(blender_scene)
+    run_cli(
+        "distill_dataset.py", "--config", "configs/fern_lowres.yml",
+        "--checkpoint", FERN_CKPT, "--savedir", str(dataroot / "fernlet"),
+        "--num-train", "7", "--num-val", "1", "--size", "63",
+    )
+    ckroot = str(tmp_path / "ckpts")
+    out = run_cli(
+        "train_multiscene.py",
+        "--blender-dirs", str(dataroot / "alpha"),
+        "--llff-dirs", str(dataroot / "fernlet"),
+        "--no-half-res", "--iters", "20", "--print-every", "10",
+        "--batch", "64", "--num-coarse", "8", "--num-fine", "8",
+        "--n-xyz", "4", "--n-dir", "2", "--llff-n-xyz", "4",
+        "--save-dir", ckroot,
+    )
+    assert "2 scenes in 2 compiled program(s)" in out
+    cfg_common = """
+models:
+  coarse: &m
+    type: FlexibleNeRFModel
+    num_layers: 4
+    hidden_size: 128
+    skip_connect_every: 4
+    num_encoding_fn_xyz: 4
+    num_encoding_fn_dir: 2
+    use_viewdirs: True
+  fine: *m
+nerf:
+  use_viewdirs: True
+  validation:
+    chunksize: 1024
+    perturb: False
+    num_coarse: 8
+    num_fine: 8
+    white_background: {white}
+    radiance_field_noise_std: 0.0
+    lindisp: False
+"""
+    blender_cfg = tmp_path / "ms_blender.yml"
+    blender_cfg.write_text(
+        "dataset:\n  type: blender\n  basedir: ''\n  half_res: False\n"
+        "  no_ndc: True\n  near: 2.0\n  far: 6.0\n"
+        + cfg_common.format(white="True")
+    )
+    llff_cfg = tmp_path / "ms_llff.yml"
+    llff_cfg.write_text(
+        "dataset:\n  type: llff\n  basedir: ''\n  no_ndc: False\n"
+        "  near: 0\n  far: 1\n  downsample_factor: 1\n  llffhold: 8\n"
+        + cfg_common.format(white="False")
+    )
+    out = run_cli(
+        "eval_multiscene.py", "--config", str(blender_cfg),
+        "--llff-config", str(llff_cfg),
+        "--ckpt-root", ckroot, "--data-root", str(dataroot), "--no-half-res",
+        "--split", "val", "--renderer", "xla",
+    )
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert set(summary["scenes"]) == {"alpha", "fernlet"}
+    assert summary["scenes"]["fernlet"]["num_views"] == 1  # llffhold of 8
+    for r in summary["scenes"].values():
+        assert r["step"] == 20
+        assert np.isfinite(r["psnr_mean"]) and r["psnr_mean"] > 5.0
+
+
 def test_optimize_poses_cli(scene_config, tmp_path):
     """optimize_poses.py demo mode: perturb the train split's cameras by a
     known amount and refine them against the trained checkpoint; the

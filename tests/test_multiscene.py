@@ -235,6 +235,41 @@ def test_parallel_multiscene_loop_rejects_indivisible_batch():
 
 
 @pytest.mark.slow
+def test_multiscene_loop_with_ndc_settings():
+    """The LLFF/NDC scene group (train_multiscene.py --llff-dirs) compiles
+    and trains through the same vmapped loop: NDC warping + near/far 0/1 as
+    compile-time constants, per-scene losses finite and distinct."""
+    from nerf_tpu.ops import get_ray_bundle
+    from nerf_tpu.parallel.multiscene import make_multiscene_train_loop
+
+    settings = RenderSettings(
+        num_coarse=8, num_fine=4, perturb=True,
+        radiance_field_noise_std=1.0, white_background=False,
+        near=0.0, far=1.0, use_ndc=True, height=8, width=8,
+        focal_length=10.0, num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+    )
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+    )
+    opt = make_optimizer("adam", 1e-3)
+    pose = jnp.eye(4)[:3, :4].at[2, 3].set(1.0)  # camera looking down -z
+    ro, rd = get_ray_bundle(8, 8, 10.0, pose)
+    ro = jnp.stack([ro.reshape(-1, 3)] * 2)
+    rd = jnp.stack([rd.reshape(-1, 3)] * 2)
+    tgt = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 3))
+
+    state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(1), 2)
+    loop = make_multiscene_train_loop(model, model, settings, opt, 16, 2)
+    state, metrics = loop(state, ro, rd, tgt, jax.random.PRNGKey(2))
+    losses = np.asarray(metrics.loss[-1])
+    assert losses.shape == (2,)
+    assert np.isfinite(losses).all()
+    # Different targets per scene would differ; identical targets but
+    # per-scene init keys -> still distinct params/losses.
+    assert losses[0] != losses[1]
+
+
 def test_multiscene_cli_checkpoint_export(tmp_path):
     """train_multiscene.py --save-dir writes one eval-compatible native
     checkpoint per scene (the sliced-vmap export the 6-scene quality sweep

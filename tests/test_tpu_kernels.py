@@ -90,6 +90,35 @@ def test_mlp_t_bf16_close_on_chip(flagship):
     assert np.quantile(err, 0.99) < 2e-2
 
 
+def test_paper_t_matches_xla_on_chip(tpu_backend):
+    """Fused PaperNeRF (8x256) kernel vs the XLA radiance-field evaluation,
+    Mosaic-compiled, f32 — covers the multi-sample-chunk grid (s=64 ->
+    s_t=16) and ragged ray padding on hardware."""
+    from nerf_tpu.engine.renderer import RenderSettings, encode_points
+    from nerf_tpu.models import PaperNeRFModel
+    from nerf_tpu.ops.pallas.paper_t import fused_paper_mlp_t
+
+    model = PaperNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    n, s = 333, 64
+    pts = jax.random.uniform(key, (n, s, 3), minval=-1.3, maxval=1.3)
+    vd = jax.random.normal(key, (n, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+
+    st = RenderSettings(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(
+            jax.jit(lambda p, e: model.apply(p, e))(
+                params, encode_points(pts, vd, st)
+            )
+        )
+    got = np.asarray(fused_paper_mlp_t(params, pts, vd, num_freq_xyz=10))
+    # Same tolerance class as the Flexible kernel test above: the 8-layer
+    # 256-wide trunk accumulates a little more default-precision rounding.
+    np.testing.assert_allclose(got, want, atol=4e-3, rtol=4e-3)
+
+
 def test_resample_kernel_matches_xla_on_chip(tpu_backend):
     """Fused inverse-CDF resampling, Mosaic-compiled (the interpret-mode
     tests in test_pallas_resample.py can't catch Mosaic reassociation)."""

@@ -10,11 +10,20 @@ protocol) batching fills the MXU far better than any single scene can
 operational — one process, one compile, simultaneous checkpoints at
 aggregate-throughput rough-parity (docs/PARITY.md roofline notes).
 
+Scene groups: blender scenes share one vmapped program; LLFF/NDC scenes
+(--llff-dirs) form a SECOND vmapped program in the same process — NDC ray
+warping, near/far = 0/1, and the encoding width are compile-time constants,
+so the NDC/non-NDC split is structural (two compiled programs), but both
+groups train interleaved from one invocation into one results table: the
+literal all-7-pretrained-scenes-in-one-run workload.
+
 Scenes default to N distinct procedural synthetic scenes (no downloads);
-pass --blender-dirs to train real blender scenes instead.
+pass --blender-dirs (and optionally --llff-dirs) for real datasets.
 
 Usage:
   python train_multiscene.py --num-scenes 7 --iters 2000 [--size 48]
+  python train_multiscene.py --blender-dirs d1 d2 ... --llff-dirs fern_dir \
+      --no-half-res --iters 200000 --num-coarse 64 --num-fine 64 --n-xyz 10
 """
 
 from __future__ import annotations
@@ -31,6 +40,7 @@ from nerf_tpu.data import (
     build_ray_store,
     composite_white_background,
     load_blender_data,
+    load_llff_data,
     make_synthetic_dataset,
 )
 from nerf_tpu.engine.checkpoint import save_checkpoint
@@ -46,6 +56,84 @@ from nerf_tpu.parallel.multiscene import (
 )
 
 
+class SceneGroup:
+    """One vmapped training program over scenes sharing a static protocol
+    (settings + model shape). Blender and LLFF/NDC scenes cannot share a
+    program (NDC warping and near/far are compile-time constants), so each
+    forms its own group; groups train interleaved in one process."""
+
+    def __init__(self, tag, names, stores, settings, model, opt, batch,
+                 mesh, seed):
+        self.tag = tag
+        self.names = names
+        self.settings = settings
+        self.model = model
+        self.opt = opt
+        self.batch = batch
+        self.mesh = mesh
+        self.loops = {}
+        S = len(names)
+        n_min = min(st[0].shape[0] for st in stores)
+        if mesh is not None:
+            n_min -= n_min % len(mesh.devices.flat)
+        ro = jnp.asarray(np.stack([st[0][:n_min] for st in stores]))
+        rd = jnp.asarray(np.stack([st[1][:n_min] for st in stores]))
+        tgt = jnp.asarray(np.stack([st[2][:n_min] for st in stores]))
+        self.state = create_multiscene_state(
+            model, model, opt, jax.random.PRNGKey(seed), S
+        )
+        if mesh is not None:
+            self.state = replicate_tree(mesh, self.state)
+            ro, rd, tgt = shard_multiscene_stores(mesh, ro, rd, tgt)
+        self.ro, self.rd, self.tgt = ro, rd, tgt
+        self.metrics = None
+        print(f"[{tag}] {S} scenes x {n_min:,} rays "
+              f"({', '.join(names)})")
+
+    def get_loop(self, k_steps):
+        if k_steps not in self.loops:
+            if self.mesh is not None:
+                self.loops[k_steps] = make_parallel_multiscene_train_loop(
+                    self.model, self.model, self.settings, self.opt,
+                    self.mesh, self.batch, k_steps
+                )
+            else:
+                self.loops[k_steps] = make_multiscene_train_loop(
+                    self.model, self.model, self.settings, self.opt,
+                    self.batch, k_steps
+                )
+        return self.loops[k_steps]
+
+    def step(self, k_steps, key):
+        self.state, self.metrics = self.get_loop(k_steps)(
+            self.state, self.ro, self.rd, self.tgt, key
+        )
+
+    def export_checkpoints(self, save_dir, step):
+        """One eval_nerf.py-compatible native checkpoint per scene: slice
+        the vmapped scene axis off every param leaf."""
+        losses = np.asarray(self.metrics.loss[-1])
+        psnrs = np.asarray(self.metrics.psnr[-1])
+        for s, name in enumerate(self.names):
+            outdir = os.path.join(save_dir, name)
+            os.makedirs(outdir, exist_ok=True)
+            path = os.path.join(outdir, f"checkpoint{step:05d}.ntc")
+            save_checkpoint(path, {
+                "step": step,
+                "params_coarse": jax.tree.map(
+                    lambda x: x[s], self.state.params_coarse
+                ),
+                "params_fine": (
+                    jax.tree.map(lambda x: x[s], self.state.params_fine)
+                    if self.state.params_fine is not None else None
+                ),
+                "loss": float(losses[s]),
+                "psnr": float(psnrs[s]),
+            })
+        print(f"[{self.tag}] saved {len(self.names)} checkpoints at iter "
+              f"{step} under {save_dir}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-scenes", type=int, default=7)
@@ -57,6 +145,12 @@ def main():
     parser.add_argument(
         "--blender-dirs", nargs="*", default=None,
         help="Optional blender scene dirs (one per scene) instead of synthetic.",
+    )
+    parser.add_argument(
+        "--llff-dirs", nargs="*", default=None,
+        help="Optional LLFF scene dirs (NDC protocol: near/far 0/1, no white "
+             "background, --llff-n-xyz encodings). Forms a second compiled "
+             "program trained interleaved with the blender/synthetic group.",
     )
     parser.add_argument(
         "--half-res", action=argparse.BooleanOptionalAction, default=True,
@@ -71,6 +165,12 @@ def main():
     parser.add_argument("--n-xyz", type=int, default=6)
     parser.add_argument("--n-dir", type=int, default=4)
     parser.add_argument("--noise-std", type=float, default=0.2)
+    # LLFF-group protocol knobs (defaults = the fern-lowres pretrained
+    # protocol: configs/fern_lowres.yml — 6/4 encodings, sigma-noise 1.0,
+    # distilled sets at factor 1).
+    parser.add_argument("--llff-factor", type=int, default=1)
+    parser.add_argument("--llff-n-xyz", type=int, default=6)
+    parser.add_argument("--llff-noise-std", type=float, default=1.0)
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default="float32")
     parser.add_argument(
@@ -85,54 +185,8 @@ def main():
              "survive interruption); 0 = only at the end.",
     )
     args = parser.parse_args()
-
-    S = args.num_scenes
-    stores = []
-    if args.blender_dirs:
-        dirs = args.blender_dirs
-        S = len(dirs)
-        for d in dirs:
-            images, poses, _, hwf, i_split = load_blender_data(
-                d, half_res=args.half_res
-            )
-            images = composite_white_background(images)
-            tr = i_split[0]
-            stores.append(
-                build_ray_store(
-                    images[tr], poses[tr, :3, :4], int(hwf[0]), int(hwf[1]), float(hwf[2])
-                )
-            )
-    else:
-        print(f"building {S} synthetic scenes ({args.views} views @ {args.size}px)...")
-        for s in range(S):
-            ds = make_synthetic_dataset(
-                num_views=args.views, height=args.size, width=args.size,
-                phase=0.9 * s, sphere_radius=0.6 + 0.05 * s, seed=100 + s,
-            )
-            h, w, focal = ds.hwf
-            stores.append(build_ray_store(ds.images, ds.poses, h, w, focal))
-
-    # Equalize store sizes (vmap needs a rectangular (S, N, 3) array).
-    n_min = min(st[0].shape[0] for st in stores)
-    ro = jnp.asarray(np.stack([st[0][:n_min] for st in stores]))
-    rd = jnp.asarray(np.stack([st[1][:n_min] for st in stores]))
-    tgt = jnp.asarray(np.stack([st[2][:n_min] for st in stores]))
-    print(f"{S} scenes x {n_min:,} rays on {jax.default_backend()}")
-
-    settings = RenderSettings(
-        num_coarse=args.num_coarse, num_fine=args.num_fine, perturb=True,
-        radiance_field_noise_std=args.noise_std,
-        white_background=True, near=2.0, far=6.0,
-        num_encoding_fn_xyz=args.n_xyz, num_encoding_fn_dir=args.n_dir,
-        compute_dtype=args.compute_dtype,
-    )
-    model = FlexibleNeRFModel(
-        num_encoding_fn_xyz=args.n_xyz, num_encoding_fn_dir=args.n_dir
-    )
-    opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
-    state = create_multiscene_state(model, model, opt, jax.random.PRNGKey(0), S)
-    steps_per_call = max(1, min(args.print_every, args.iters))
-    loops = {}
+    if args.iters < 1:
+        raise SystemExit("--iters must be >= 1")
 
     # Multiscene x DP: with >1 device, scenes stay vmapped inside and the
     # per-scene ray batch shards over the mesh's data axis (one pmean per
@@ -145,89 +199,152 @@ def main():
                 f"{num_devices}-device mesh"
             )
         mesh = make_mesh()
-        state = replicate_tree(mesh, state)
-        n_keep = n_min - n_min % num_devices
-        ro, rd, tgt = shard_multiscene_stores(
-            mesh, ro[:, :n_keep], rd[:, :n_keep], tgt[:, :n_keep]
-        )
         print(f"data-parallel over {num_devices} devices, "
               f"{args.batch} rays/scene/step")
     else:
         mesh = None
 
-    def get_loop(k_steps):
-        if k_steps not in loops:
-            if mesh is not None:
-                loops[k_steps] = make_parallel_multiscene_train_loop(
-                    model, model, settings, opt, mesh, args.batch, k_steps
-                )
-            else:
-                loops[k_steps] = make_multiscene_train_loop(
-                    model, model, settings, opt, args.batch, k_steps
-                )
-        return loops[k_steps]
+    opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
+    groups = []
 
-    if args.iters < 1:
-        raise SystemExit("--iters must be >= 1")
-    names = (
-        [os.path.basename(os.path.normpath(d)) for d in args.blender_dirs]
-        if args.blender_dirs else [f"scene{s}" for s in range(S)]
-    )
-    if len(set(names)) != len(names):
+    # --- blender / synthetic group -------------------------------------
+    stores, names = [], []
+    if args.blender_dirs:
+        for d in args.blender_dirs:
+            images, poses, _, hwf, i_split = load_blender_data(
+                d, half_res=args.half_res
+            )
+            images = composite_white_background(images)
+            tr = i_split[0]
+            stores.append(
+                build_ray_store(
+                    images[tr], poses[tr, :3, :4],
+                    int(hwf[0]), int(hwf[1]), float(hwf[2])
+                )
+            )
+        names = [os.path.basename(os.path.normpath(d))
+                 for d in args.blender_dirs]
+    elif not args.llff_dirs:
+        S = args.num_scenes
+        print(f"building {S} synthetic scenes ({args.views} views @ {args.size}px)...")
+        for s in range(S):
+            ds = make_synthetic_dataset(
+                num_views=args.views, height=args.size, width=args.size,
+                phase=0.9 * s, sphere_radius=0.6 + 0.05 * s, seed=100 + s,
+            )
+            h, w, focal = ds.hwf
+            stores.append(build_ray_store(ds.images, ds.poses, h, w, focal))
+        names = [f"scene{s}" for s in range(S)]
+    if stores:
+        settings = RenderSettings(
+            num_coarse=args.num_coarse, num_fine=args.num_fine, perturb=True,
+            radiance_field_noise_std=args.noise_std,
+            white_background=True, near=2.0, far=6.0,
+            num_encoding_fn_xyz=args.n_xyz, num_encoding_fn_dir=args.n_dir,
+            compute_dtype=args.compute_dtype,
+        )
+        model = FlexibleNeRFModel(
+            num_encoding_fn_xyz=args.n_xyz, num_encoding_fn_dir=args.n_dir
+        )
+        groups.append(SceneGroup(
+            "blender", names, stores, settings, model, opt, args.batch,
+            mesh, seed=0,
+        ))
+
+    # --- LLFF / NDC group ----------------------------------------------
+    if args.llff_dirs:
+        stores, names, hwf0 = [], [], None
+        for d in args.llff_dirs:
+            images, poses, _bds, _rp, i_test = load_llff_data(
+                d, factor=args.llff_factor
+            )
+            hwf = poses[0, :3, -1]
+            poses = poses[:, :3, :4]
+            # Reference llffhold=8 split (train_nerf.py:122-131).
+            i_hold = np.arange(images.shape[0])[::8]
+            i_train = np.array(
+                [i for i in range(images.shape[0]) if i not in i_hold]
+            )
+            h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+            if hwf0 is None:
+                hwf0 = (h, w, focal)
+            elif hwf0 != (h, w, focal):
+                raise SystemExit(
+                    f"--llff-dirs intrinsics differ: {hwf0} vs {(h, w, focal)} "
+                    f"({d}) — NDC settings are compile-time constants; run "
+                    "mismatched scenes separately"
+                )
+            stores.append(
+                build_ray_store(
+                    images[i_train, ..., :3], poses[i_train], h, w, focal
+                )
+            )
+            names.append(os.path.basename(os.path.normpath(d)))
+        h, w, focal = hwf0
+        llff_settings = RenderSettings(
+            num_coarse=args.num_coarse, num_fine=args.num_fine, perturb=True,
+            radiance_field_noise_std=args.llff_noise_std,
+            white_background=False, near=0.0, far=1.0,
+            use_ndc=True, height=h, width=w, focal_length=focal,
+            num_encoding_fn_xyz=args.llff_n_xyz,
+            num_encoding_fn_dir=args.n_dir,
+            compute_dtype=args.compute_dtype,
+        )
+        llff_model = FlexibleNeRFModel(
+            num_encoding_fn_xyz=args.llff_n_xyz,
+            num_encoding_fn_dir=args.n_dir,
+        )
+        groups.append(SceneGroup(
+            "llff", names, stores, llff_settings, llff_model, opt,
+            args.batch, mesh, seed=10,
+        ))
+
+    if not groups:
+        raise SystemExit("no scenes: pass --blender-dirs and/or --llff-dirs")
+    all_names = [n for g in groups for n in g.names]
+    if len(set(all_names)) != len(all_names):
         # a/lego and b/lego would silently overwrite each other's exports
-        raise SystemExit(f"duplicate scene names in --blender-dirs: {names}")
+        raise SystemExit(f"duplicate scene names across groups: {all_names}")
+    S_total = sum(len(g.names) for g in groups)
+    print(f"{S_total} scenes in {len(groups)} compiled program(s) "
+          f"on {jax.default_backend()}")
 
-    def export_checkpoints(state, metrics, step):
-        # One eval_nerf.py-compatible native checkpoint per scene: slice the
-        # vmapped scene axis off every param leaf.
-        losses = np.asarray(metrics.loss[-1])
-        psnrs = np.asarray(metrics.psnr[-1])
-        for s, name in enumerate(names):
-            outdir = os.path.join(args.save_dir, name)
-            os.makedirs(outdir, exist_ok=True)
-            path = os.path.join(outdir, f"checkpoint{step:05d}.ntc")
-            save_checkpoint(path, {
-                "step": step,
-                "params_coarse": jax.tree.map(
-                    lambda x: x[s], state.params_coarse
-                ),
-                "params_fine": (
-                    jax.tree.map(lambda x: x[s], state.params_fine)
-                    if state.params_fine is not None else None
-                ),
-                "loss": float(losses[s]),
-                "psnr": float(psnrs[s]),
-            })
-        print(f"saved {S} checkpoints at iter {step} under {args.save_dir}")
-
+    steps_per_call = max(1, min(args.print_every, args.iters))
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     i = 0
     while i < args.iters:
         k_steps = min(steps_per_call, args.iters - i)
-        key, k = jax.random.split(key)
-        state, metrics = get_loop(k_steps)(state, ro, rd, tgt, k)
-        psnrs = np.asarray(metrics.psnr[-1])  # last step of the call
+        for g in groups:
+            key, k = jax.random.split(key)
+            g.step(k_steps, k)
         prev, i = i, i + k_steps
+        parts = []
+        for g in groups:
+            psnrs = np.asarray(g.metrics.psnr[-1])  # last step of the call
+            parts.append(
+                f"{g.tag} [{' '.join(f'{p:.1f}' for p in psnrs)}]"
+            )
         print(
-            f"iter {i - 1:5d} mean psnr {psnrs.mean():6.2f} "
-            f"per-scene [{' '.join(f'{p:.1f}' for p in psnrs)}] "
-            f"rays/s {S * args.batch * i / (time.time() - t0):,.0f}"
+            f"iter {i - 1:5d} psnr {' | '.join(parts)} "
+            f"rays/s {S_total * args.batch * i / (time.time() - t0):,.0f}"
         )
         if (
             args.save_dir and args.save_every and i < args.iters
             and i // args.save_every > prev // args.save_every
         ):
-            export_checkpoints(state, metrics, i)
+            for g in groups:
+                g.export_checkpoints(args.save_dir, i)
     dt = time.time() - t0
-    total_rays = S * args.batch * args.iters
+    total_rays = S_total * args.batch * args.iters
     print(
-        f"trained {S} scenes x {args.iters} iters in {dt:.1f}s = "
+        f"trained {S_total} scenes x {args.iters} iters in {dt:.1f}s = "
         f"{total_rays / dt:,.0f} aggregate rays/s"
     )
 
     if args.save_dir:
-        export_checkpoints(state, metrics, args.iters)
+        for g in groups:
+            g.export_checkpoints(args.save_dir, args.iters)
 
 
 if __name__ == "__main__":
