@@ -88,8 +88,9 @@ class RenderSettings:
     aabb: Optional[Tuple[float, float, float, float, float, float]] = None
     # Use the fused Pallas encode+MLP kernel for radiance-field evaluation
     # (forward-only — rendering/eval; training autodiffs the XLA path).
-    # Silently falls back to XLA when the model shape isn't the fusable
-    # default (ops/pallas/mlp.py supports_fused).
+    # Fused families: default-shape FlexibleNeRF (ops/pallas/mlp_t.py,
+    # supports_fused) and PaperNeRF 8x256 (ops/pallas/paper_t.py,
+    # supports_fused_paper); other shapes fall back to XLA.
     use_pallas: bool = False
     # Rematerialize the encode+MLP evaluation in the backward pass instead of
     # storing per-point activations (jax.checkpoint). Trades ~1/3 more FLOPs
