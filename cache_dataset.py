@@ -61,6 +61,9 @@ def cache_nerf_dataset(args) -> str:
         raise ValueError(f"Unknown dataset type {args.type!r}")
 
     h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    if args.format == "reference":
+        return _write_reference_cache(args, images, poses, i_train, i_val,
+                                      h, w, focal)
     ro, rd, targets = build_ray_store(images[i_train], poses[i_train], h, w, focal)
 
     if args.num_random_rays > 0:
@@ -97,6 +100,53 @@ def cache_nerf_dataset(args) -> str:
     return path
 
 
+def _write_reference_cache(args, images, poses, i_train, i_val, h, w, focal):
+    """Write a reference-consumable cache dir: per-image ``torch.save``
+    dicts under ``train/``/``val/`` exactly as reference
+    ``cache_dataset.py:73-135`` lays them out (``NNNN.data`` with
+    height/width/focal_length/ray_bundle/target), so a reference user can
+    point their ``train_nerf.py`` cachedir at our output. ``val`` files are
+    always full-image (the reference's ``sample_all`` layout); ``train``
+    files subsample ``--num-random-rays`` when set. Without the reference's
+    variation-overwrite bug, one file per image is the whole surface."""
+    from nerf_tpu.engine.checkpoint import _import_torch
+
+    torch = _import_torch()
+    rng = np.random.default_rng(args.seed)
+    count = 0
+    for split, idxs in (("train", i_train), ("val", i_val)):
+        outdir = os.path.join(args.savedir, split)
+        os.makedirs(outdir, exist_ok=True)
+        for i in idxs:
+            ro, rd, tgt = build_ray_store(
+                images[i : i + 1], poses[i : i + 1], h, w, focal
+            )
+            if split == "train" and args.num_random_rays > 0:
+                sel = rng.choice(
+                    ro.shape[0], size=args.num_random_rays, replace=False
+                )
+                ro, rd, tgt = ro[sel], rd[sel], tgt[sel]
+            else:
+                ro = ro.reshape(h, w, 3)
+                rd = rd.reshape(h, w, 3)
+                tgt = tgt.reshape(h, w, 3)
+            torch.save(
+                {
+                    "height": h,
+                    "width": w,
+                    "focal_length": focal,
+                    "ray_bundle": torch.stack(
+                        [torch.from_numpy(ro), torch.from_numpy(rd)], dim=0
+                    ),
+                    "target": torch.from_numpy(tgt),
+                },
+                os.path.join(outdir, f"{int(i):04d}.data"),
+            )
+            count += 1
+    print(f"cached {count} reference-format .data files -> {args.savedir}")
+    return args.savedir
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--datapath", type=str, required=True)
@@ -124,8 +174,10 @@ def main():
     parser.add_argument("--num-variations", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
-        "--format", choices=["npz", "binary"], default="npz",
-        help="npz (with validation views) or the native single-file binary cache.",
+        "--format", choices=["npz", "binary", "reference"], default="npz",
+        help="npz (with validation views), the native single-file binary "
+             "cache, or 'reference': per-image torch.save .data files the "
+             "reference's own cachedir training path consumes.",
     )
     cache_nerf_dataset(parser.parse_args())
 

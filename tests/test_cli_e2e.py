@@ -235,6 +235,46 @@ def test_cache_then_train_from_cache(blender_scene, scene_config, tmp_path):
     assert os.path.exists(os.path.join(logdir, "cli_e2e", "checkpoint00020.ntc"))
 
 
+def test_cache_dataset_reference_format_roundtrip(blender_scene, tmp_path):
+    """cache_dataset.py --format reference writes per-image .data files that
+    (a) real torch.load parses with the reference's keys and layouts
+    (ref train_nerf.py:175-193's consumption contract) and (b) our own
+    reference-cache ingest reads back with matching ray counts."""
+    import torch
+
+    cachedir = str(tmp_path / "refcache")
+    out = run_cli(
+        "cache_dataset.py", "--datapath", blender_scene, "--type", "blender",
+        "--savedir", cachedir, "--format", "reference",
+    )
+    assert "reference-format .data" in out
+    d = torch.load(os.path.join(cachedir, "train", "0000.data"))
+    assert d["ray_bundle"].shape == (2, 25, 25, 3)
+    assert d["target"].shape == (25, 25, 3)
+    assert d["height"] == 25 and d["width"] == 25
+    # val files are named by GLOBAL image index (reference writer semantics)
+    assert os.path.exists(os.path.join(cachedir, "val", "0006.data"))
+
+    from nerf_tpu.data import is_reference_cache_dir, load_reference_cache_dir
+
+    assert is_reference_cache_dir(cachedir)
+    ro, rd, t, meta, _ = load_reference_cache_dir(cachedir)
+    assert ro.shape == (6 * 25 * 25, 3)  # 6 train views, every pixel
+    assert meta["height"] == 25
+
+    # Sampled layout: --num-random-rays subsets train files only.
+    sampled = str(tmp_path / "refcache_sampled")
+    run_cli(
+        "cache_dataset.py", "--datapath", blender_scene, "--type", "blender",
+        "--savedir", sampled, "--format", "reference",
+        "--num-random-rays", "17",
+    )
+    d = torch.load(os.path.join(sampled, "train", "0000.data"))
+    assert d["ray_bundle"].shape == (2, 17, 3)
+    d = torch.load(os.path.join(sampled, "val", "0006.data"))
+    assert d["ray_bundle"].shape == (2, 25, 25, 3)
+
+
 def test_train_from_reference_format_cache(blender_scene, scene_config,
                                            tmp_path):
     """A reference-produced cache dir (train/*.data torch.save files, ref
