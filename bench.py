@@ -16,7 +16,8 @@ order puts the headline metrics first:
   4. sustained 800px render (production Pallas eval path when the guard
      passed) + render_vs_reference (see REFERENCE_RENDER_RAYS_PER_SEC)
   -- headline complete; extras only while wall-clock budget remains --
-  5. 400px render, 6. 800px single-frame, 7. 800px XLA path, 8. multiscene
+  5. 400px render, 6. 800px single-frame, 7. 800px XLA path, 8. multiscene,
+  9. 800px PaperNeRF (second fused family)
 
 Wall-clock budget: env NERF_BENCH_BUDGET_S (default 420 s). A stage is
 skipped when the remaining budget can't cover its estimate (remote compiles
@@ -223,25 +224,30 @@ def bench_render_pipelined(side: int = 800, frames: int = 8,
     return frames * side * side / dt
 
 
-def bench_render(side: int = 400, use_pallas: bool = True) -> float:
+def bench_render(side: int = 400, use_pallas: bool = True,
+                 family: str = "flexible") -> float:
     """Image-render throughput. use_pallas=True is the production eval path
     (feature-major fused encode+MLP kernel + XLA compositing, eval_nerf.py's
-    default); False measures the pure-XLA parity path."""
+    default); False measures the pure-XLA parity path. family="paper"
+    measures the 8x256 PaperNeRF kernel (ops/pallas/paper_t.py) instead."""
     from nerf_tpu.data import pose_spherical
     from nerf_tpu.engine.renderer import RenderSettings, make_image_render_fn
-    from nerf_tpu.models import FlexibleNeRFModel
+    from nerf_tpu.models import FlexibleNeRFModel, PaperNeRFModel
     from nerf_tpu.ops import get_ray_bundle
 
     settings = RenderSettings(
         num_coarse=64, num_fine=64, perturb=False, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
         # The fused kernel keeps activations in VMEM, so the whole image fits
-        # in one chunk; the XLA path materializes (chunk, S, 128) hidden
+        # in one chunk; the XLA path materializes (chunk, S, hidden)
         # activations in HBM and needs ray tiling.
         chunksize=side * side if use_pallas else 65536,
         compute_dtype="bfloat16", use_pallas=use_pallas,
     )
-    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    if family == "paper":
+        model = PaperNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    else:
+        model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     pc = model.init(jax.random.PRNGKey(0))
     pf = model.init(jax.random.PRNGKey(1))
     render = make_image_render_fn(model, model, settings)
@@ -493,6 +499,13 @@ def _stage_multiscene(r: dict) -> None:
     r["multiscene6_train_rays_per_sec_bf16"] = round(bench_multiscene(), 1)
 
 
+def _stage_render_800_paper(r: dict) -> None:
+    """The second fused family: 8x256 PaperNeRF through its Pallas kernel
+    (falls to XLA if the guard failed, like every render stage)."""
+    rps = bench_render(800, use_pallas=_use_pallas_path(r), family="paper")
+    r["render_rays_per_sec_800px_paper"] = round(rps, 1)
+
+
 # (name, wall-clock estimate s, fn). Estimates are compile-dominated
 # (~40 s/program over the remote relay, often cached) + run time + margin;
 # measured warm-claim stage times are 13-30 s each (round 3).
@@ -508,6 +521,7 @@ EXTRA_STAGES = [
     ("render_800", 70, _stage_render_800),
     ("render_800_xla", 80, _stage_render_800_xla),
     ("multiscene6", 110, _stage_multiscene),
+    ("render_800_paper", 90, _stage_render_800_paper),
 ]
 STAGES = HEADLINE_STAGES + EXTRA_STAGES
 
