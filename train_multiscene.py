@@ -312,6 +312,7 @@ def main():
     steps_per_call = max(1, min(args.print_every, args.iters))
     key = jax.random.PRNGKey(1)
     t0 = time.time()
+    t_chunk = t0
     i = 0
     while i < args.iters:
         k_steps = min(steps_per_call, args.iters - i)
@@ -325,10 +326,14 @@ def main():
             parts.append(
                 f"{g.tag} [{' '.join(f'{p:.1f}' for p in psnrs)}]"
             )
+        now = time.time()
         print(
             f"iter {i - 1:5d} psnr {' | '.join(parts)} "
-            f"rays/s {S_total * args.batch * i / (time.time() - t0):,.0f}"
+            f"rays/s {S_total * args.batch * k_steps / (now - t_chunk):,.0f}"
+            f" (cum {S_total * args.batch * i / (now - t0):,.0f})",
+            flush=True,
         )
+        t_chunk = now
         if (
             args.save_dir and args.save_every and i < args.iters
             and i // args.save_every > prev // args.save_every
