@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_tpu.config import load_config, render_settings_from_config
-from nerf_tpu.data import load_blender_data, load_llff_data, spherical_render_poses
+from nerf_tpu.data.eval_poses import resolve_render_poses
 from nerf_tpu.engine.checkpoint import load_models_and_params
 from nerf_tpu.engine.renderer import make_pose_render_fn
 
@@ -106,69 +106,12 @@ def main():
     cfg = load_config(args.config, args.overrides)
 
     # Render poses come from the dataset type (reference eval_nerf.py:60-85);
-    # blender scenes don't need images on disk for eval — use the standard orbit.
-    if cfg.dataset.type == "blender":
-        if cfg.dataset.basedir and os.path.isdir(cfg.dataset.basedir):
-            _, all_poses, render_poses, hwf, i_split = load_blender_data(
-                cfg.dataset.basedir, half_res=cfg.dataset.half_res,
-                testskip=cfg.dataset.testskip,
-            )
-            if args.split != "render":
-                idx = {"train": 0, "val": 1, "test": 2}[args.split]
-                render_poses = all_poses[i_split[idx]]
-            h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
-        else:
-            if args.split != "render":
-                # A dataset split without a dataset would silently become
-                # the 40-pose orbit and poison downstream metric runs.
-                raise SystemExit(
-                    f"--split {args.split} needs an on-disk dataset, but "
-                    f"dataset.basedir={cfg.dataset.basedir!r} is not a "
-                    "directory"
-                )
-            h = int(getattr(cfg.dataset, "height", 400))
-            w = int(getattr(cfg.dataset, "width", 400))
-            focal = float(
-                getattr(cfg.dataset, "focal", 0.5 * w / np.tan(0.5 * 0.6911112070083618))
-            )
-            render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
-    elif cfg.dataset.type == "llff":
-        _, poses, _, render_poses, i_holdout = load_llff_data(
-            cfg.dataset.basedir,
-            factor=getattr(cfg.dataset, "downsample_factor", 8),
-            spherify=bool(getattr(cfg.dataset, "spherify", False)),
-            path_zflat=bool(getattr(cfg.dataset, "path_zflat", False)),
-        )
-        hwf = poses[0, :3, -1]
-        h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
-        if args.split != "render":
-            # llffhold split, same as training (reference train_nerf.py:75-84:
-            # every llffhold-th view is held out; val == test for LLFF).
-            # llffhold <= 0 falls back to the loader's single
-            # nearest-to-average holdout view, matching train_nerf.py:137-141.
-            llffhold = int(getattr(cfg.dataset, "llffhold", 8))
-            if llffhold > 0:
-                i_test = np.arange(poses.shape[0])[::llffhold]
-            else:
-                i_test = np.array([i_holdout])
-            if args.split == "train":
-                sel = np.array([i for i in range(poses.shape[0]) if i not in i_test])
-            else:
-                sel = i_test
-            render_poses = poses[sel, :3, :4]
-    elif cfg.dataset.type == "synthetic":
-        if args.split != "render":
-            raise SystemExit(
-                "--split train/val/test is not defined for the procedural "
-                "synthetic dataset (it has no on-disk splits); use the "
-                "default --split render"
-            )
-        # Procedural scene: standard spherical orbit at the training FOV.
-        h = w = int(getattr(cfg.dataset, "image_size", 64))
-        focal = 0.5 * w / np.tan(0.5 * 0.6911112070083618)
-        render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
-    else:
-        raise ValueError(f"Unsupported dataset type {cfg.dataset.type!r} for eval")
+    # blender scenes don't need images on disk for eval — use the standard
+    # orbit. Shared with serve_nerf.py (nerf_tpu.data.eval_poses).
+    try:
+        render_poses, h, w, focal = resolve_render_poses(cfg, args.split)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     # Shared loader (engine.checkpoint): reference-format checkpoints get
     # default-shaped (4x128) models (SURVEY.md §5 quirk 1); native

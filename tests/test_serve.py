@@ -1,0 +1,172 @@
+"""serve_nerf.py: the HTTP render service (production-serving surface).
+
+Drives the RenderService + HTTP layer in-process on the CPU backend: a tiny
+checkpoint is written to disk, the server binds port 0, and requests go
+through a real socket (urllib) — routes, PNG payloads, error paths.
+"""
+
+import json
+import os
+import sys
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from nerf_tpu.config import load_config  # noqa: E402
+from nerf_tpu.engine.checkpoint import save_checkpoint  # noqa: E402
+from nerf_tpu.models import FlexibleNeRFModel  # noqa: E402
+
+_CFG = """
+experiment:
+  id: serve-test
+  logdir: logs
+  randomseed: 1
+  train_iters: 1
+  validate_every: 1
+  save_every: 1
+  print_every: 1
+dataset:
+  type: synthetic
+  basedir: ""
+  num_views: 2
+  image_size: 24
+  no_ndc: True
+  near: 2
+  far: 6
+models:
+  coarse:
+    type: FlexibleNeRFModel
+    num_layers: 2
+    hidden_size: 16
+    num_encoding_fn_xyz: 2
+    num_encoding_fn_dir: 1
+    use_viewdirs: True
+optimizer:
+  type: Adam
+  lr: 5.0E-3
+nerf:
+  use_viewdirs: True
+  train:
+    num_random_rays: 32
+    chunksize: 1024
+    perturb: True
+    num_coarse: 4
+    num_fine: 0
+    white_background: False
+    radiance_field_noise_std: 0.0
+    lindisp: False
+  validation:
+    chunksize: 1024
+    perturb: False
+    num_coarse: 4
+    num_fine: 0
+    white_background: False
+    radiance_field_noise_std: 0.0
+    lindisp: False
+"""
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from serve_nerf import RenderService, serve
+
+    cfg_path = tmp_path_factory.mktemp("cfg") / "serve.yml"
+    cfg_path.write_text(_CFG)
+    cfg = load_config(str(cfg_path))
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=2, num_encoding_fn_dir=1,
+    )
+    ckpt_path = str(tmp_path_factory.mktemp("ckpt") / "checkpoint00001.ntc")
+    save_checkpoint(ckpt_path, {
+        "step": 1,
+        "params_coarse": model.init(jax.random.PRNGKey(0)),
+        "params_fine": None,
+    })
+    service = RenderService(cfg, ckpt_path, renderer="xla")
+    httpd = serve(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, service
+    httpd.shutdown()
+    thread.join(timeout=5)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_viewer_page(server):
+    base, _ = server
+    status, ctype, body = _get(base + "/")
+    assert status == 200 and ctype == "text/html"
+    assert b"/render?theta=" in body
+
+
+def test_render_frame_returns_png(server):
+    base, service = server
+    status, ctype, body = _get(base + "/render?frame=0")
+    assert status == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    import imageio.v2 as imageio
+
+    img = imageio.imread(body)
+    assert img.shape == (service.height, service.width, 3)
+
+
+def test_render_spherical_and_health(server):
+    base, _ = server
+    status, ctype, _body = _get(base + "/render?theta=90&phi=-20&radius=3.5")
+    assert status == 200 and ctype == "image/png"
+    status, _, body = _get(base + "/health")
+    h = json.loads(body)
+    assert h["status"] == "ok"
+    assert h["frames_served"] >= 2
+    assert h["last_render_s"] is not None
+
+
+def test_post_pose(server):
+    base, service = server
+    pose = np.asarray(service.poses[1], np.float32)[:4].tolist()
+    req = urllib.request.Request(
+        base + "/pose",
+        data=json.dumps({"pose": pose}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_bad_requests_are_400_not_500(server):
+    base, _ = server
+    for path, data in [
+        ("/render?frame=notanint", None),
+        ("/pose", json.dumps({"pose": [[1.0, 2.0]]}).encode()),
+        ("/pose", b"not json"),
+    ]:
+        req = urllib.request.Request(
+            base + path, data=data,
+            method="POST" if data is not None else "GET",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+        assert "error" in json.loads(exc_info.value.read())
+
+
+def test_unknown_route_404(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+    assert exc_info.value.code == 404
