@@ -202,3 +202,52 @@ def test_spherify_poses():
     np.testing.assert_allclose(radii.mean(), 1.0, atol=0.1)
     # bounds rescaled by the same factor
     assert bds2.min() > 0
+
+
+def _cfg_node(d):
+    from nerf_tpu.config import CfgNode
+
+    return CfgNode(d)
+
+
+def test_resolve_render_poses_blender_dataset(blender_dir):
+    """Shared eval/serve pose resolver (data/eval_poses.py): dataset-backed
+    blender scenes give the 40-pose orbit for 'render' and the split's own
+    cameras otherwise."""
+    from nerf_tpu.data.eval_poses import resolve_render_poses
+
+    cfg = _cfg_node({"dataset": {
+        "type": "blender", "basedir": blender_dir,
+        "half_res": False, "testskip": 1,
+    }})
+    poses, h, w, focal = resolve_render_poses(cfg, "render")
+    assert poses.shape[0] == 40 and poses.shape[-2:] >= (3, 4)
+    assert (h, w) == (8, 8) and focal > 0
+    val_poses, *_ = resolve_render_poses(cfg, "val")
+    assert val_poses.shape[0] == 2  # the fixture's val split
+
+
+def test_resolve_render_poses_blender_orbit_fallback():
+    """No on-disk dataset: 'render' falls back to the standard orbit at
+    config intrinsics; dataset splits must fail loudly (a silent orbit would
+    poison metric runs downstream)."""
+    from nerf_tpu.data.eval_poses import resolve_render_poses
+
+    cfg = _cfg_node({"dataset": {
+        "type": "blender", "basedir": "", "half_res": False, "testskip": 1,
+        "height": 32, "width": 48,
+    }})
+    poses, h, w, focal = resolve_render_poses(cfg, "render")
+    assert poses.shape[0] == 40 and (h, w) == (32, 48)
+    with pytest.raises(ValueError, match="needs an on-disk dataset"):
+        resolve_render_poses(cfg, "val")
+
+
+def test_resolve_render_poses_synthetic_splits_rejected():
+    from nerf_tpu.data.eval_poses import resolve_render_poses
+
+    cfg = _cfg_node({"dataset": {"type": "synthetic", "image_size": 16}})
+    poses, h, w, _ = resolve_render_poses(cfg, "render")
+    assert poses.shape[0] == 40 and h == w == 16
+    with pytest.raises(ValueError, match="synthetic"):
+        resolve_render_poses(cfg, "test")
