@@ -22,6 +22,12 @@ Requests are served sequentially by design: one TPU process owns the chip,
 and renders saturate it — concurrency belongs at the replica level (one
 server per chip over a mesh), not inside one device's queue.
 
+``--logdir`` (instead of ``--checkpoint``) watches a training run: each
+request renders the run's newest checkpoint, hot-swapping params when a new
+one lands. Params are pytree ARGUMENTS of the compiled renderer, so the swap
+is one host->device upload with zero recompilation — a live view of training
+in progress.
+
 Usage:
   python serve_nerf.py --config configs/lego_lowres.yml \
       --checkpoint /root/reference/pretrained/lego-lowres/checkpoint199999.ckpt
@@ -70,15 +76,34 @@ class RenderService:
     ``render_spherical`` builds the standard orbit pose.
     """
 
-    def __init__(self, cfg, checkpoint_path: str,
-                 precision: str = "float32", renderer: str = "pallas"):
+    def __init__(self, cfg, checkpoint_path: Optional[str] = None,
+                 precision: str = "float32", renderer: str = "pallas",
+                 watch_logdir: Optional[str] = None):
         import jax.numpy as jnp
 
         from nerf_tpu.config import render_settings_from_config
         from nerf_tpu.data.eval_poses import resolve_render_poses
-        from nerf_tpu.engine.checkpoint import load_models_and_params
+        from nerf_tpu.engine.checkpoint import (
+            latest_checkpoint,
+            load_models_and_params,
+        )
+
         from nerf_tpu.engine.renderer import make_pose_render_fn
 
+        # Watch mode: serve a TRAINING RUN's logdir, hot-swapping params as
+        # new checkpoints land. Params are pytree ARGUMENTS of the compiled
+        # renderer (not baked constants), so a swap is one host->device
+        # upload — zero recompilation; a request mid-training always renders
+        # the newest atomic checkpoint (engine.checkpoint writes via
+        # os.replace, so a partial file is never visible).
+        self.watch_logdir = watch_logdir
+        if checkpoint_path is None:
+            if watch_logdir is None:
+                raise ValueError("need checkpoint_path or watch_logdir")
+            checkpoint_path = latest_checkpoint(watch_logdir)
+            if checkpoint_path is None:
+                raise ValueError(f"no .ntc checkpoints under {watch_logdir}")
+        self.checkpoint_path = checkpoint_path
         self.poses, h, w, focal = resolve_render_poses(cfg, "render")
         model_coarse, model_fine, self.params_coarse, self.params_fine, ckpt = (
             load_models_and_params(checkpoint_path, cfg)
@@ -99,6 +124,8 @@ class RenderService:
             model_coarse, model_fine, self.settings, h, w, focal, output="u8"
         )
         self._jnp = jnp
+        step = ckpt.get("step", ckpt.get("iter"))
+        self.checkpoint_step = None if step is None else int(step)
         self.frames_served = 0
         self.last_render_s: Optional[float] = None
         # Compile + warm before accepting traffic (first compile is ~40 s on
@@ -108,11 +135,41 @@ class RenderService:
         self.compile_s = time.time() - t0
         self.frames_served = 0
 
+    def _maybe_reload(self) -> None:
+        """Watch mode: pick up the newest checkpoint in the logdir, if any.
+
+        A swapped pytree must match the compiled renderer's structure (same
+        model config); a mismatched checkpoint raises from the renderer on
+        the next call rather than being silently ignored."""
+        if self.watch_logdir is None:
+            return
+        import jax
+
+        from nerf_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
+
+        newest = latest_checkpoint(self.watch_logdir)
+        if newest is None or newest == self.checkpoint_path:
+            return
+        ckpt = load_checkpoint(newest)
+        self.params_coarse = jax.tree.map(
+            self._jnp.asarray, ckpt["params_coarse"]
+        )
+        self.params_fine = (
+            jax.tree.map(self._jnp.asarray, ckpt["params_fine"])
+            if ckpt.get("params_fine") is not None else None
+        )
+        self.checkpoint_path = newest
+        step = ckpt.get("step")
+        self.checkpoint_step = None if step is None else int(step)
+        print(f"[serve] reloaded {newest} (step {self.checkpoint_step})",
+              flush=True)
+
     def render_pose(self, pose) -> np.ndarray:
         """(3|4, 4) camera-to-world -> (H, W, 3) uint8."""
         pose = np.asarray(pose, np.float32)
         if pose.shape not in ((3, 4), (4, 4)):
             raise ValueError(f"pose must be (3, 4) or (4, 4), got {pose.shape}")
+        self._maybe_reload()
         t0 = time.time()
         img = np.asarray(
             self._render(
@@ -141,6 +198,9 @@ class RenderService:
     def health(self) -> dict:
         return {
             "status": "ok",
+            "checkpoint": self.checkpoint_path,
+            "checkpoint_step": self.checkpoint_step,
+            "watching": self.watch_logdir,
             "height": self.height,
             "width": self.width,
             "focal": round(self.focal, 2),
@@ -228,7 +288,16 @@ def serve(service: RenderService, host: str, port: int) -> HTTPServer:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--checkpoint", type=str, required=True)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", type=str,
+                     help="Serve this checkpoint (.ntc or reference .ckpt).")
+    src.add_argument(
+        "--logdir", type=str,
+        help="Watch a training run's logdir: serve its newest .ntc "
+             "checkpoint and hot-swap params when a newer one lands "
+             "(zero recompilation — params are pytree args). A live view "
+             "of a run in progress.",
+    )
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8642)
     parser.add_argument("--precision", choices=["bfloat16", "float32"],
@@ -249,7 +318,8 @@ def main():
     cfg = load_config(args.config, args.overrides)
     print("loading checkpoint + compiling renderer...", flush=True)
     service = RenderService(
-        cfg, args.checkpoint, precision=args.precision, renderer=args.renderer
+        cfg, args.checkpoint, precision=args.precision,
+        renderer=args.renderer, watch_logdir=args.logdir,
     )
     httpd = serve(service, args.host, args.port)
     h = service.health()

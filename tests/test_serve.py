@@ -170,3 +170,52 @@ def test_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(base + "/nope", timeout=30)
     assert exc_info.value.code == 404
+
+
+def test_watch_logdir_hot_swaps_params(tmp_path):
+    """--logdir watch mode: a new checkpoint landing in the logdir changes
+    what subsequent requests render, with no recompilation (the compiled
+    renderer takes params as pytree args)."""
+    from serve_nerf import RenderService
+
+    cfg_path = tmp_path / "serve.yml"
+    cfg_path.write_text(_CFG)
+    cfg = load_config(str(cfg_path))
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=2, num_encoding_fn_dir=1,
+    )
+    logdir = tmp_path / "run"
+    logdir.mkdir()
+
+    def write(step, seed):
+        save_checkpoint(str(logdir / f"checkpoint{step:05d}.ntc"), {
+            "step": step,
+            "params_coarse": model.init(jax.random.PRNGKey(seed)),
+            "params_fine": None,
+        })
+
+    write(10, seed=0)
+    service = RenderService(cfg, watch_logdir=str(logdir), renderer="xla")
+    assert service.checkpoint_step == 10
+    img1 = service.render_frame(0)
+
+    write(20, seed=123)  # new checkpoint lands mid-serving
+    img2 = service.render_frame(0)
+    assert service.checkpoint_step == 20
+    assert service.checkpoint_path.endswith("checkpoint00020.ntc")
+    assert not np.array_equal(img1, img2)  # different field, same pose
+
+    # And the same pose re-renders identically when nothing new landed.
+    img3 = service.render_frame(0)
+    assert np.array_equal(img2, img3)
+
+
+def test_watch_logdir_empty_raises(tmp_path):
+    from serve_nerf import RenderService
+
+    cfg_path = tmp_path / "serve.yml"
+    cfg_path.write_text(_CFG)
+    with pytest.raises(ValueError, match="no .ntc checkpoints"):
+        RenderService(load_config(str(cfg_path)),
+                      watch_logdir=str(tmp_path))
