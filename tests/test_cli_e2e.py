@@ -843,3 +843,56 @@ def test_extract_geometry_llff_requires_bbox(tmp_path):
     )
     assert proc.returncode != 0
     assert "--bbox" in proc.stderr
+
+
+def test_serve_nerf_cli(scene_config, tmp_path):
+    """serve_nerf.py as a real subprocess: --logdir watch mode over a trained
+    run's checkpoints, health + render over a live socket (the in-process
+    RenderService/HTTP tests are tests/test_serve.py; this covers main()'s
+    arg wiring and startup path)."""
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    cfg_path, logdir = scene_config
+    rundir = os.path.join(logdir, "cli_e2e")
+    if not os.path.exists(os.path.join(rundir, "checkpoint00060.ntc")):
+        run_cli("train_nerf.py", "--config", cfg_path)
+
+    port = 8823
+    cmd = [
+        sys.executable, "-c", _LAUNCHER, os.path.join(REPO, "serve_nerf.py"),
+        "--config", cfg_path, "--logdir", rundir,
+        "--port", str(port), "--precision", "float32", "--renderer", "xla",
+    ]
+    proc = subprocess.Popen(
+        cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    try:
+        health = None
+        for _ in range(120):
+            if proc.poll() is not None:
+                break
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=2
+                ) as resp:
+                    health = _json.loads(resp.read())
+                break
+            except OSError:
+                _time.sleep(1)
+        assert health is not None, (
+            f"server never came up; rc={proc.poll()}\n"
+            f"stderr:\n{proc.stderr.read().decode()[-2000:]}"
+        )
+        assert health["checkpoint"].endswith("checkpoint00060.ntc")
+        assert health["checkpoint_step"] == 60
+        assert health["watching"] == rundir
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?frame=0", timeout=60
+        ) as resp:
+            body = resp.read()
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
