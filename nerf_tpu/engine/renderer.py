@@ -193,7 +193,12 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     # pe_alpha annealing is XLA-path only (the fused kernel computes its own
     # unwindowed encoding in-register).
     if (s.use_pallas and viewdirs is not None and s.log_sampling_xyz
-            and s.log_sampling_dir and s.pe_alpha_xyz < 0.0):
+            and s.log_sampling_dir and s.pe_alpha_xyz < 0.0
+            # The fused kernels are TPU Mosaic programs; on any other backend
+            # (a CPU-only host rendering a reference checkpoint with the
+            # default --renderer pallas) they fail to lower — fall back to
+            # the numerically-equivalent XLA path instead of crashing.
+            and jax.default_backend() == "tpu"):
         from ..ops.pallas.mlp import supports_fused
         from ..ops.pallas.mlp_t import fused_mlp_t
         from ..ops.pallas.paper_t import fused_paper_mlp_t, supports_fused_paper

@@ -138,3 +138,29 @@ def test_paper_model_no_viewdirs():
     assert params["layers_dir"][0]["kernel"].shape == (256, 128)
     out = model.apply(params, jnp.ones((5, model.input_dim)))
     assert out.shape == (5, 4)
+
+
+def test_use_pallas_falls_back_on_non_tpu_backend():
+    """eval/serve default to --renderer pallas; on a CPU-only host with a
+    default-shaped (reference) checkpoint the TPU Mosaic kernels can't lower
+    — the renderer must fall back to the XLA path, not crash (regression:
+    'Only interpret mode is supported on CPU backend')."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.engine.renderer import RenderSettings, make_render_fn
+    from nerf_tpu.models import FlexibleNeRFModel
+
+    assert jax.default_backend() == "cpu"  # conftest forces CPU
+    model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    pc = model.init(jax.random.PRNGKey(0))
+    pf = model.init(jax.random.PRNGKey(1))
+    s = RenderSettings(
+        num_coarse=4, num_fine=4, perturb=False, near=2.0, far=6.0,
+        num_encoding_fn_xyz=10, num_encoding_fn_dir=4, use_pallas=True,
+    )
+    render = make_render_fn(model, model, s)
+    ro = jnp.zeros((8, 3))
+    rd = jnp.concatenate([jnp.zeros((8, 2)), -jnp.ones((8, 1))], -1)
+    out = render(pc, pf, ro, rd)
+    assert out.fine.rgb.shape == (8, 3)
