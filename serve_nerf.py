@@ -46,26 +46,49 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-_VIEWER_HTML = """<!doctype html>
-<html><head><title>nerf_tpu viewer</title><style>
+_VIEWER_STYLE = """<style>
 body{font-family:sans-serif;margin:2em;background:#111;color:#eee}
 img{image-rendering:auto;border:1px solid #444;max-width:90vw}
-label{margin-right:1.5em}</style></head><body>
-<h3>nerf_tpu — live checkpoint viewer</h3>
-<div>
+label{margin-right:1.5em}</style>"""
+
+_VIEWER_SCRIPT = """<script>
+const img=document.getElementById('img');let busy=false,queued=null;
+function go(){if(busy){queued=url();return}busy=true;
+  const u=url();const i=new Image();
+  i.onload=()=>{img.src=u;busy=false;if(queued){queued=null;go()}};i.src=u}
+for(const el of controls) el.addEventListener('input',go);
+</script></body></html>"""
+
+
+def viewer_html(ndc: bool, num_frames: int) -> str:
+    """The / page: orbit sliders for free-orbit scenes; a trajectory-frame
+    slider for NDC (forward-facing) scenes, whose frustum an orbit exits."""
+    head = (f"<!doctype html><html><head><title>nerf_tpu viewer</title>"
+            f"{_VIEWER_STYLE}</head><body>"
+            f"<h3>nerf_tpu — live checkpoint viewer</h3>")
+    if ndc:
+        return (
+            head
+            + f"""<div>
+<label>frame <input id="f" type="range" min="0" max="{num_frames - 1}" value="0"></label>
+</div>
+<p><img id="img" src="/render?frame=0" alt="render"></p>
+<script>const controls=[f];
+function url(){{return `/render?frame=${{f.value}}`}}</script>"""
+            + _VIEWER_SCRIPT
+        )
+    return (
+        head
+        + """<div>
 <label>theta <input id="t" type="range" min="0" max="360" value="45"></label>
 <label>phi <input id="p" type="range" min="-90" max="0" value="-30"></label>
 <label>radius <input id="r" type="range" min="2" max="8" step="0.25" value="4"></label>
 </div>
 <p><img id="img" src="/render?theta=45&phi=-30&radius=4" alt="render"></p>
-<script>
-const img=document.getElementById('img');let busy=false,queued=null;
-function url(){return `/render?theta=${t.value}&phi=${p.value}&radius=${r.value}`}
-function go(){if(busy){queued=url();return}busy=true;
-  const u=url();const i=new Image();
-  i.onload=()=>{img.src=u;busy=false;if(queued){queued=null;go()}};i.src=u}
-for(const el of [t,p,r]) el.addEventListener('input',go);
-</script></body></html>"""
+<script>const controls=[t,p,r];
+function url(){return `/render?theta=${t.value}&phi=${p.value}&radius=${r.value}`}</script>"""
+        + _VIEWER_SCRIPT
+    )
 
 
 class RenderService:
@@ -239,7 +262,8 @@ def make_handler(service: RenderService):
             url = urlparse(self.path)
             try:
                 if url.path == "/":
-                    self._send(200, _VIEWER_HTML.encode(), "text/html")
+                    html = viewer_html(service.use_ndc, len(service.poses))
+                    self._send(200, html.encode(), "text/html")
                 elif url.path == "/health":
                     self._send_json(200, service.health())
                 elif url.path == "/render":

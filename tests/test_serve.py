@@ -219,3 +219,15 @@ def test_watch_logdir_empty_raises(tmp_path):
     with pytest.raises(ValueError, match="no .ntc checkpoints"):
         RenderService(load_config(str(cfg_path)),
                       watch_logdir=str(tmp_path))
+
+
+def test_viewer_html_variants():
+    """NDC scenes get a trajectory-frame slider (an orbit exits their
+    frustum); free-orbit scenes get theta/phi/radius controls."""
+    from serve_nerf import viewer_html
+
+    orbit = viewer_html(ndc=False, num_frames=40)
+    assert "/render?theta=" in orbit and "frame" not in orbit
+    ndc = viewer_html(ndc=True, num_frames=120)
+    assert "/render?frame=" in ndc and 'max="119"' in ndc
+    assert "theta" not in ndc
