@@ -4,6 +4,7 @@ multi-host initialization."""
 from .distributed import is_primary, maybe_initialize_distributed
 from .dp import (
     make_parallel_image_render_fn,
+    make_parallel_pose_render_fn,
     make_parallel_render_fn,
     make_parallel_train_loop,
     make_parallel_train_step,
@@ -36,6 +37,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "make_parallel_image_render_fn",
+    "make_parallel_pose_render_fn",
     "make_parallel_render_fn",
     "make_parallel_train_loop",
     "make_parallel_train_step",

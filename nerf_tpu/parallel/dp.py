@@ -194,24 +194,10 @@ def make_parallel_render_fn(
     return jax.jit(sharded)
 
 
-def make_parallel_image_render_fn(
-    model_coarse,
-    model_fine,
-    settings: RenderSettings,
-    mesh: Mesh,
-    axis: str = DATA_AXIS,
-):
-    """Sharded full-image renderer: the H*W pixel rays are split across the
-    mesh's data axis; each device scans its shard in ``chunksize``-ray
-    megabatches (lax.map, like the single-device engine.renderer path); the
-    out-spec sharding reassembles the image — the all-gather the reference's
-    host-side chunk+concat loop (train_utils.py:170-200) becomes.
-
-    render(params_coarse, params_fine, ray_origins (H,W,3),
-           ray_directions (H,W,3)) -> dict of (H,W[,3]) maps.
-    """
-    eval_settings = settings.eval_variant()
-    n_shards = mesh.shape[axis]
+def _make_shard_chunk_render(model_coarse, model_fine, eval_settings):
+    """Device-local half of the sharded renderers: scan this shard's rays in
+    ``chunksize``-ray megabatches (lax.map, like the single-device
+    engine.renderer path) and return the flat per-ray maps."""
 
     def shard_render(params_coarse, params_fine, ro, rd):
         n = ro.shape[0]
@@ -239,6 +225,31 @@ def make_parallel_image_render_fn(
             for k, v in maps.items()
         }
 
+    return shard_render
+
+
+def make_parallel_image_render_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+):
+    """Sharded full-image renderer: the H*W pixel rays are split across the
+    mesh's data axis; each device scans its shard in ``chunksize``-ray
+    megabatches (lax.map, like the single-device engine.renderer path); the
+    out-spec sharding reassembles the image — the all-gather the reference's
+    host-side chunk+concat loop (train_utils.py:170-200) becomes.
+
+    render(params_coarse, params_fine, ray_origins (H,W,3),
+           ray_directions (H,W,3)) -> dict of (H,W[,3]) maps.
+    """
+    eval_settings = settings.eval_variant()
+    n_shards = mesh.shape[axis]
+    shard_render = _make_shard_chunk_render(
+        model_coarse, model_fine, eval_settings
+    )
+
     sharded = jax.shard_map(
         shard_render,
         mesh=mesh,
@@ -262,3 +273,80 @@ def make_parallel_image_render_fn(
         }
 
     return jax.jit(render_image)
+
+
+def make_parallel_pose_render_fn(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    height: int,
+    width: int,
+    focal: float,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    output: str = "maps",
+):
+    """Sharded pose -> image renderer: the mesh analog of
+    ``engine.renderer.make_pose_render_fn``, with its relay-transfer tricks
+    intact — only a (3, 4) pose crosses the host->device boundary, and each
+    shard GENERATES its own slice of pixel rays on-device (pinhole math is
+    per-pixel independent, so ray generation shards for free; no H*W*24-byte
+    ray upload, no host-side ray build). The out-spec sharding reassembles
+    the image; ``output`` selects maps/u8/f32 like the serial factory.
+
+    This is serve_nerf.py's multi-device path: one compiled program renders
+    each requested frame across every device in the mesh.
+    """
+    if output not in ("maps", "u8", "f32"):
+        raise ValueError(f"unknown output mode {output!r}")
+    eval_settings = settings.eval_variant()
+    n_shards = mesh.shape[axis]
+    n = height * width
+    shard_n = -(-n // n_shards)  # ceil; pad rays re-render the last pixel
+    chunk_render = _make_shard_chunk_render(
+        model_coarse, model_fine, eval_settings
+    )
+
+    def shard_render(params_coarse, params_fine, pose34):
+        # This shard's flat pixel indices -> camera-frame directions ->
+        # world rays (same math as ops.rays.get_ray_bundle, reference
+        # nerf_helpers.py:89-110, restricted to the shard's index range).
+        start = jax.lax.axis_index(axis) * shard_n
+        idx = jnp.minimum(start + jnp.arange(shard_n), n - 1)
+        ii = (idx % width).astype(pose34.dtype)
+        jj = (idx // width).astype(pose34.dtype)
+        directions = jnp.stack(
+            [
+                (ii - width * 0.5) / focal,
+                -(jj - height * 0.5) / focal,
+                -jnp.ones_like(ii),
+            ],
+            axis=-1,
+        )
+        rd = jnp.sum(directions[..., None, :] * pose34[:3, :3], axis=-1)
+        ro = jnp.broadcast_to(pose34[:3, -1], rd.shape)
+        return chunk_render(params_coarse, params_fine, ro, rd)
+
+    sharded = jax.shard_map(
+        shard_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def render(params_coarse, params_fine, pose34):
+        maps = {
+            k: v[:n].reshape((height, width) + v.shape[1:])
+            for k, v in sharded(params_coarse, params_fine, pose34).items()
+        }
+        rgb = maps.get("rgb_fine", maps["rgb_coarse"])
+        if output == "f32":
+            return jnp.clip(rgb, 0.0, 1.0)
+        u8 = (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        if output == "u8":
+            return u8
+        maps["rgb_u8"] = u8
+        return maps
+
+    return jax.jit(render)

@@ -143,9 +143,25 @@ class RenderService:
             use_pallas=(renderer == "pallas"),
         )
         self.use_ndc = self.settings.use_ndc
-        self._render = make_pose_render_fn(
-            model_coarse, model_fine, self.settings, h, w, focal, output="u8"
-        )
+        # Multi-device backends shard each frame's rays over the mesh (each
+        # device generates + renders its slice; the out-spec sharding
+        # reassembles the image) — same auto-scale-out behavior as the other
+        # CLIs. Single device uses the serial pose renderer.
+        import jax
+
+        self.num_devices = len(jax.devices())
+        if self.num_devices > 1:
+            from nerf_tpu.parallel import make_mesh, make_parallel_pose_render_fn
+
+            self._render = make_parallel_pose_render_fn(
+                model_coarse, model_fine, self.settings, h, w, focal,
+                make_mesh(), output="u8",
+            )
+        else:
+            self._render = make_pose_render_fn(
+                model_coarse, model_fine, self.settings, h, w, focal,
+                output="u8",
+            )
         self._jnp = jnp
         step = ckpt.get("step", ckpt.get("iter"))
         self.checkpoint_step = None if step is None else int(step)
@@ -221,6 +237,7 @@ class RenderService:
     def health(self) -> dict:
         return {
             "status": "ok",
+            "devices": self.num_devices,
             "checkpoint": self.checkpoint_path,
             "checkpoint_step": self.checkpoint_step,
             "watching": self.watch_logdir,

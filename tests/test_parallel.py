@@ -246,3 +246,48 @@ def test_dp_compiled_scaling():
     # adds a constant, so allow [1/16, 1/4] — far from 1/8 means DP broke.
     assert flops_1 / 16 < flops_8 < flops_1 / 4, (flops_1, flops_8)
     assert " all-reduce(" in hlo_8
+
+
+def test_parallel_pose_render_matches_serial_pose_render():
+    """Sharded pose->image renderer (serve_nerf's multi-device path): only a
+    (3, 4) pose crosses the host boundary, each shard generates its own ray
+    slice on-device — must match the serial pose renderer exactly, including
+    the pad path (H*W not divisible by the mesh) and the u8 output mode."""
+    from nerf_tpu.data import pose_spherical
+    from nerf_tpu.engine.renderer import make_pose_render_fn
+    from nerf_tpu.parallel import make_mesh, make_parallel_pose_render_fn
+
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16, num_encoding_fn_xyz=4, num_encoding_fn_dir=2
+    )
+    pc = model.init(jax.random.PRNGKey(0))
+    pf = model.init(jax.random.PRNGKey(1))
+    settings = RenderSettings(
+        num_coarse=8, num_fine=8, perturb=False, radiance_field_noise_std=0.0,
+        near=2.0, far=6.0, num_encoding_fn_xyz=4, num_encoding_fn_dir=2,
+        chunksize=16,
+    )
+    h, w, focal = 9, 7, 5.0  # 63 rays: not divisible by 8 devices
+    pose = jnp.asarray(pose_spherical(30.0, -45.0, 4.0), jnp.float32)[:3, :4]
+
+    mesh = make_mesh()
+    sharded = make_parallel_pose_render_fn(
+        model, model, settings, h, w, focal, mesh, output="maps"
+    )
+    serial = make_pose_render_fn(
+        model, model, settings, h, w, focal, output="maps"
+    )
+    out_s = sharded(pc, pf, pose)
+    out_1 = serial(pc, pf, pose)
+    assert set(out_s) == set(out_1)
+    for k in out_1:
+        np.testing.assert_allclose(
+            np.asarray(out_s[k], np.float32), np.asarray(out_1[k], np.float32),
+            rtol=2e-5, atol=2e-6, err_msg=k,
+        )
+
+    u8 = make_parallel_pose_render_fn(
+        model, model, settings, h, w, focal, mesh, output="u8"
+    )(pc, pf, pose)
+    assert u8.shape == (h, w, 3) and u8.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(u8), np.asarray(out_1["rgb_u8"]))
