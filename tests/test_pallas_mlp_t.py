@@ -50,6 +50,10 @@ def test_renderer_dispatches_to_kernel(flagship, monkeypatch):
         return real(*args, **kwargs)
 
     monkeypatch.setattr(mlp_t_mod, "fused_mlp_t", spy)
+    # The production gate only dispatches Mosaic kernels on a TPU backend
+    # (tests/test_models.py covers the CPU fallback); mock it so the
+    # dispatch contract itself is what this test exercises.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     key = jax.random.PRNGKey(2)
     ro = jax.random.uniform(key, (16, 3), minval=-1, maxval=1)
     rd = ro - jnp.array([0.0, 0.0, 2.0])
