@@ -587,6 +587,13 @@ def main(deadline: float) -> dict:
 
 
 if __name__ == "__main__":
+    # Persistent XLA executable cache: compiles drop 6.2 s -> 0.2 s on cache
+    # hits (utils/compile_cache.py), leaving more of the budget for measured
+    # stages. Steady-state throughput numbers are unaffected — every stage
+    # times post-compile loops.
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     budget = float(os.environ.get("NERF_BENCH_BUDGET_S", "420"))
     deadline = time.monotonic() + budget
     for i, a in enumerate(sys.argv):

@@ -148,6 +148,9 @@ def _write_reference_cache(args, images, poses, i_train, i_val, h, w, focal):
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--datapath", type=str, required=True)
     parser.add_argument("--type", type=str, required=True, choices=["blender", "llff"])

@@ -133,6 +133,9 @@ def load_params(checkpoint: str, cfg):
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", required=True)

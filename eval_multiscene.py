@@ -49,6 +49,9 @@ from nerf_tpu.utils import psnr, ssim
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config", required=True,

@@ -42,6 +42,9 @@ def cast_to_disparity_image(disp: np.ndarray) -> np.ndarray:
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, required=True)

@@ -43,6 +43,9 @@ from nerf_tpu.engine.geometry import (
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, required=True)

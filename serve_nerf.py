@@ -327,6 +327,9 @@ def serve(service: RenderService, host: str, port: int) -> HTTPServer:
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     src = parser.add_mutually_exclusive_group(required=True)

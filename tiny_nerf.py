@@ -50,6 +50,9 @@ def load_npz_dataset(path: str) -> SyntheticDataset:
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--npz", type=str, default="", help="tiny_nerf_data.npz path")
     parser.add_argument("--iters", type=int, default=1000)

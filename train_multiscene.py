@@ -135,6 +135,9 @@ class SceneGroup:
 
 
 def main():
+    from nerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA executable cache across CLI runs
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-scenes", type=int, default=7)
     parser.add_argument("--iters", type=int, default=2000)
