@@ -103,11 +103,16 @@ def cache_nerf_dataset(args) -> str:
 def _write_reference_cache(args, images, poses, i_train, i_val, h, w, focal):
     """Write a reference-consumable cache dir: per-image ``torch.save``
     dicts under ``train/``/``val/`` exactly as reference
-    ``cache_dataset.py:73-135`` lays them out (``NNNN.data`` with
-    height/width/focal_length/ray_bundle/target), so a reference user can
-    point their ``train_nerf.py`` cachedir at our output. ``val`` files are
-    always full-image (the reference's ``sample_all`` layout); ``train``
-    files subsample ``--num-random-rays`` when set. Without the reference's
+    ``cache_dataset.py:73-135`` lays them out, so a reference user can
+    point their ``train_nerf.py`` cachedir at our output. The two splits
+    use DIFFERENT schemas, matching what the reference's training loop
+    reads: ``train/NNNN.data`` carries a stacked ``ray_bundle`` (2, N, 3)
+    (consumed by reference ``train_nerf.py:177-183``), while ``val/``
+    carries full-image ``ray_origins``/``ray_directions`` (H, W, 3)
+    (reference ``cache_dataset.py:120-135``, consumed by
+    ``train_nerf.py:304-317`` — a ``ray_bundle`` val file would crash the
+    reference's first validation step with KeyError). ``train`` files
+    subsample ``--num-random-rays`` when set. Without the reference's
     variation-overwrite bug, one file per image is the whole surface."""
     from nerf_tpu.engine.checkpoint import _import_torch
 
@@ -121,27 +126,25 @@ def _write_reference_cache(args, images, poses, i_train, i_val, h, w, focal):
             ro, rd, tgt = build_ray_store(
                 images[i : i + 1], poses[i : i + 1], h, w, focal
             )
-            if split == "train" and args.num_random_rays > 0:
-                sel = rng.choice(
-                    ro.shape[0], size=args.num_random_rays, replace=False
+            d = {"height": h, "width": w, "focal_length": focal}
+            if split == "train":
+                if args.num_random_rays > 0:
+                    sel = rng.choice(
+                        ro.shape[0], size=args.num_random_rays, replace=False
+                    )
+                    ro, rd, tgt = ro[sel], rd[sel], tgt[sel]
+                else:
+                    # reference sample_all layout: full-image (2, H, W, 3)
+                    ro, rd, tgt = (x.reshape(h, w, 3) for x in (ro, rd, tgt))
+                d["ray_bundle"] = torch.stack(
+                    [torch.from_numpy(ro), torch.from_numpy(rd)], dim=0
                 )
-                ro, rd, tgt = ro[sel], rd[sel], tgt[sel]
+                d["target"] = torch.from_numpy(tgt)
             else:
-                ro = ro.reshape(h, w, 3)
-                rd = rd.reshape(h, w, 3)
-                tgt = tgt.reshape(h, w, 3)
-            torch.save(
-                {
-                    "height": h,
-                    "width": w,
-                    "focal_length": focal,
-                    "ray_bundle": torch.stack(
-                        [torch.from_numpy(ro), torch.from_numpy(rd)], dim=0
-                    ),
-                    "target": torch.from_numpy(tgt),
-                },
-                os.path.join(outdir, f"{int(i):04d}.data"),
-            )
+                d["ray_origins"] = torch.from_numpy(ro.reshape(h, w, 3))
+                d["ray_directions"] = torch.from_numpy(rd.reshape(h, w, 3))
+                d["target"] = torch.from_numpy(tgt.reshape(h, w, 3))
+            torch.save(d, os.path.join(outdir, f"{int(i):04d}.data"))
             count += 1
     print(f"cached {count} reference-format .data files -> {args.savedir}")
     return args.savedir

@@ -41,6 +41,7 @@ from nerf_tpu.config import (
 from nerf_tpu.data import (
     composite_white_background,
     load_blender_data,
+    llff_holdout_split,
     load_llff_data,
 )
 from nerf_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
@@ -155,14 +156,10 @@ def main():
             hwf = poses_full[0, :3, -1]
             poses = poses_full[:, :3, :4]
             images = images[..., :3]
-            # Reference llffhold=8 split: every 8th view is held out
-            # (train_nerf.py:122-131); val and test both read the holdout.
-            i_hold = np.arange(images.shape[0])[::8]
-            sel = (
-                np.array([i for i in range(images.shape[0])
-                          if i not in i_hold])
-                if args.split == "train" else i_hold
-            )
+            # Reference llffhold=8 split (shared llff_holdout_split —
+            # val and test both read the holdout).
+            i_train, i_hold = llff_holdout_split(images.shape[0])
+            sel = i_train if args.split == "train" else i_hold
             scene_cfg, tag = llff_cfg, "llff"
         else:
             images, poses, _, hwf, i_split = load_blender_data(

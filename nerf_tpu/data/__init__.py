@@ -1,7 +1,7 @@
 """Dataset loading (blender / LLFF / synthetic) and device-ready ray stores."""
 
 from .blender import composite_white_background, load_blender_data
-from .llff import load_llff_data
+from .llff import llff_holdout_split, load_llff_data
 from .poses import pose_spherical, spherical_render_poses
 from .rays_store import (
     build_ray_store,
@@ -22,6 +22,7 @@ from .synthetic import (
 __all__ = [
     "composite_white_background",
     "load_blender_data",
+    "llff_holdout_split",
     "load_llff_data",
     "pose_spherical",
     "spherical_render_poses",

@@ -18,13 +18,18 @@ from typing import Tuple
 import numpy as np
 
 from .blender import load_blender_data
-from .llff import load_llff_data
+from .llff import llff_holdout_split, load_llff_data
 from .poses import spherical_render_poses
 
 
 def resolve_render_poses(cfg, split: str = "render"
                          ) -> Tuple[np.ndarray, int, int, float]:
-    """Return ``(poses (N, >=3, 4) float32, height, width, focal)``.
+    """Return ``(poses (N, 3, 4) float32, height, width, focal)``.
+
+    Poses are always sliced to the (3, 4) camera-to-world block: blender
+    paths produce (4, 4) homogeneous matrices and LLFF spiral/spherified
+    paths carry the (3, 5) hwf column — consumers (the pose renderers)
+    take exactly (3, 4).
 
     ``split``: ``render`` = the dataset's orbit (blender) / spiral (LLFF)
     trajectory, the reference behavior; ``train``/``val``/``test`` = that
@@ -68,21 +73,12 @@ def resolve_render_poses(cfg, split: str = "render"
         hwf = poses[0, :3, -1]
         h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
         if split != "render":
-            # llffhold split, same as training (reference train_nerf.py:75-84:
-            # every llffhold-th view is held out; val == test for LLFF).
-            # llffhold <= 0 falls back to the loader's single
-            # nearest-to-average holdout view, matching train_nerf.py:137-141.
-            llffhold = int(getattr(ds, "llffhold", 8))
-            if llffhold > 0:
-                i_test = np.arange(poses.shape[0])[::llffhold]
-            else:
-                i_test = np.array([i_holdout])
-            if split == "train":
-                sel = np.array(
-                    [i for i in range(poses.shape[0]) if i not in i_test]
-                )
-            else:
-                sel = i_test
+            # The reference's holdout split (llff.llff_holdout_split —
+            # shared with train/eval_multiscene so every tool splits alike).
+            i_train, i_test = llff_holdout_split(
+                poses.shape[0], int(getattr(ds, "llffhold", 8)), i_holdout
+            )
+            sel = i_train if split == "train" else i_test
             render_poses = poses[sel, :3, :4]
     elif ds.type == "synthetic":
         if split != "render":
@@ -97,4 +93,4 @@ def resolve_render_poses(cfg, split: str = "render"
         render_poses = spherical_render_poses(40, phi=-30.0, radius=4.0)
     else:
         raise ValueError(f"Unsupported dataset type {ds.type!r} for eval")
-    return np.asarray(render_poses, np.float32), h, w, focal
+    return np.asarray(render_poses, np.float32)[:, :3, :4], h, w, focal

@@ -222,6 +222,21 @@ def spherify_poses(poses: np.ndarray, bds: np.ndarray):
     return poses_reset, new_poses, bds
 
 
+def llff_holdout_split(num_images: int, llffhold: int = 8, i_holdout: int = 0):
+    """The reference's LLFF train/holdout split (train_nerf.py:75-84): every
+    ``llffhold``-th view is held out (val == test for LLFF); ``llffhold <= 0``
+    falls back to the loader's single nearest-to-average view ``i_holdout``
+    (train_nerf.py:137-141). Returns ``(i_train, i_test)`` index arrays.
+    The one definition shared by eval_poses / train_multiscene /
+    eval_multiscene so every tool splits identically."""
+    if llffhold > 0:
+        i_test = np.arange(num_images)[::llffhold]
+    else:
+        i_test = np.array([i_holdout])
+    i_train = np.array([i for i in range(num_images) if i not in i_test])
+    return i_train, i_test
+
+
 def load_llff_data(
     basedir: str,
     factor: int = 8,

@@ -143,8 +143,12 @@ _ALLOWED = {
     # Data-only numpy scalar reconstruction: reference ray caches
     # (cache_dataset.py:104-110) store focal_length as a numpy float, which
     # torch.save pickles via numpy.core.multiarray.scalar(dtype, bytes).
-    ("numpy.core.multiarray", "scalar"): np.core.multiarray.scalar,
-    ("numpy._core.multiarray", "scalar"): np.core.multiarray.scalar,
+    # np.core is the deprecated pre-NumPy-2 alias (np._core after); resolve
+    # whichever this numpy has so the import never breaks on either era.
+    ("numpy.core.multiarray", "scalar"):
+        getattr(np, "_core", getattr(np, "core", None)).multiarray.scalar,
+    ("numpy._core.multiarray", "scalar"):
+        getattr(np, "_core", getattr(np, "core", None)).multiarray.scalar,
     ("numpy", "dtype"): np.dtype,
     # protocol-2 pickles of numpy scalars carry the raw bytes as a latin-1
     # str rebuilt via _codecs.encode — pure data transcoding, no execution.

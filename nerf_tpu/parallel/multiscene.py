@@ -162,7 +162,10 @@ def shard_multiscene_stores(mesh: Mesh, *arrays, axis: str = DATA_AXIS):
             for a in arrays
         )
     else:
-        out = tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+        # device_put straight from the host array (like shard_batch):
+        # jnp.asarray first would materialize the whole (S, N, 3) store on
+        # device 0 before resharding — a transient 2x HBM copy per store.
+        out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

@@ -33,10 +33,10 @@ def enable_compilation_cache() -> str:
     knob = os.environ.get("NERF_COMPILE_CACHE", "")
     if knob.lower() in _OFF and knob != "":
         return ""
-    path = (
+    path = os.path.expanduser(
         os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or (knob if knob else None)
-        or os.path.expanduser(_DEFAULT)
+        or _DEFAULT
     )
     try:
         os.makedirs(path, exist_ok=True)

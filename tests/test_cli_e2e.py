@@ -240,7 +240,11 @@ def test_cache_dataset_reference_format_roundtrip(blender_scene, tmp_path):
     (a) real torch.load parses with the reference's keys and layouts
     (ref train_nerf.py:175-193's consumption contract) and (b) our own
     reference-cache ingest reads back with matching ray counts."""
-    import torch
+    from nerf_tpu.engine.checkpoint import _import_torch
+
+    
+
+    torch = _import_torch()
 
     cachedir = str(tmp_path / "refcache")
     out = run_cli(
@@ -253,7 +257,15 @@ def test_cache_dataset_reference_format_roundtrip(blender_scene, tmp_path):
     assert d["target"].shape == (25, 25, 3)
     assert d["height"] == 25 and d["width"] == 25
     # val files are named by GLOBAL image index (reference writer semantics)
-    assert os.path.exists(os.path.join(cachedir, "val", "0006.data"))
+    # and use the reference's VALIDATION schema — full-image ray_origins/
+    # ray_directions, NOT ray_bundle (reference cache_dataset.py:120-135,
+    # consumed by train_nerf.py:304-317; a ray_bundle val file would crash
+    # the reference's first validation step).
+    d = torch.load(os.path.join(cachedir, "val", "0006.data"))
+    assert "ray_bundle" not in d
+    assert d["ray_origins"].shape == (25, 25, 3)
+    assert d["ray_directions"].shape == (25, 25, 3)
+    assert d["target"].shape == (25, 25, 3)
 
     from nerf_tpu.data import is_reference_cache_dir, load_reference_cache_dir
 
@@ -272,7 +284,7 @@ def test_cache_dataset_reference_format_roundtrip(blender_scene, tmp_path):
     d = torch.load(os.path.join(sampled, "train", "0000.data"))
     assert d["ray_bundle"].shape == (2, 17, 3)
     d = torch.load(os.path.join(sampled, "val", "0006.data"))
-    assert d["ray_bundle"].shape == (2, 25, 25, 3)
+    assert d["ray_origins"].shape == (25, 25, 3)  # val is never subsampled
 
 
 def test_train_from_reference_format_cache(blender_scene, scene_config,
@@ -280,7 +292,11 @@ def test_train_from_reference_format_cache(blender_scene, scene_config,
     """A reference-produced cache dir (train/*.data torch.save files, ref
     cache_dataset.py:73-115) feeds train_nerf.py --overrides dataset.cachedir
     directly — the reference's cachedir surface (train_nerf.py:175-193)."""
-    import torch
+    from nerf_tpu.engine.checkpoint import _import_torch
+
+    
+
+    torch = _import_torch()
 
     from nerf_tpu.data import build_ray_store, load_blender_data
 
@@ -859,18 +875,34 @@ def test_serve_nerf_cli(scene_config, tmp_path):
     if not os.path.exists(os.path.join(rundir, "checkpoint00060.ntc")):
         run_cli("train_nerf.py", "--config", cfg_path)
 
-    port = 8823
+    # --port 0: bind an ephemeral port (a fixed port can collide with a
+    # stale server from an aborted earlier run and flake or, worse, answer
+    # with the OLD checkpoint) and parse the bound port from the startup
+    # banner.
     cmd = [
         sys.executable, "-c", _LAUNCHER, os.path.join(REPO, "serve_nerf.py"),
         "--config", cfg_path, "--logdir", rundir,
-        "--port", str(port), "--precision", "float32", "--renderer", "xla",
+        "--port", "0", "--precision", "float32", "--renderer", "xla",
     ]
     proc = subprocess.Popen(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
     )
     try:
+        import re as _re
+
+        port = None
+        for line in proc.stdout:  # blocks until startup prints the banner
+            m = _re.search(r"http://127\.0\.0\.1:(\d+)/", line)
+            if m:
+                port = int(m.group(1))
+                break
+        assert port is not None, (
+            f"server never printed its address; rc={proc.poll()}\n"
+            f"stderr:\n{proc.stderr.read()[-2000:]}"
+        )
         health = None
-        for _ in range(120):
+        for _ in range(60):
             if proc.poll() is not None:
                 break
             try:
@@ -883,7 +915,7 @@ def test_serve_nerf_cli(scene_config, tmp_path):
                 _time.sleep(1)
         assert health is not None, (
             f"server never came up; rc={proc.poll()}\n"
-            f"stderr:\n{proc.stderr.read().decode()[-2000:]}"
+            f"stderr:\n{proc.stderr.read()[-2000:]}"
         )
         assert health["checkpoint"].endswith("checkpoint00060.ntc")
         assert health["checkpoint_step"] == 60

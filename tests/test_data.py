@@ -135,7 +135,11 @@ def reference_cache_dir(tmp_path):
     """Write a reference-format ray cache: train/NNNN.data torch.save dicts
     exactly as reference cache_dataset.py:73-115 produces them (ray_bundle
     stacked (2, N, 3) torch tensors, RGBA target, numpy-float focal)."""
-    import torch
+    from nerf_tpu.engine.checkpoint import _import_torch
+
+    
+
+    torch = _import_torch()
 
     rng = np.random.default_rng(3)
     os.makedirs(tmp_path / "cache" / "train")
@@ -251,3 +255,20 @@ def test_resolve_render_poses_synthetic_splits_rejected():
     assert poses.shape[0] == 40 and h == w == 16
     with pytest.raises(ValueError, match="synthetic"):
         resolve_render_poses(cfg, "test")
+
+
+def test_resolve_render_poses_llff_slices_hwf_column(llff_dir):
+    """LLFF spiral/holdout paths carry a (3, 5) hwf column; the resolver
+    must hand consumers exactly (N, 3, 4) — serve_nerf's pose renderer
+    (unlike eval_nerf's loop) does no slicing of its own (regression:
+    serve_nerf crashed at startup for every LLFF scene)."""
+    from nerf_tpu.data.eval_poses import resolve_render_poses
+
+    cfg = _cfg_node({"dataset": {
+        "type": "llff", "basedir": llff_dir, "downsample_factor": 1,
+    }})
+    for split in ("render", "val", "train"):
+        poses, h, w, focal = resolve_render_poses(cfg, split)
+        assert poses.shape[1:] == (3, 4), (split, poses.shape)
+        assert poses.shape[0] > 0
+    assert (h, w) == (12, 16) and focal > 0

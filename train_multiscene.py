@@ -40,6 +40,7 @@ from nerf_tpu.data import (
     build_ray_store,
     composite_white_background,
     load_blender_data,
+    llff_holdout_split,
     load_llff_data,
     make_synthetic_dataset,
 )
@@ -263,11 +264,8 @@ def main():
             )
             hwf = poses[0, :3, -1]
             poses = poses[:, :3, :4]
-            # Reference llffhold=8 split (train_nerf.py:122-131).
-            i_hold = np.arange(images.shape[0])[::8]
-            i_train = np.array(
-                [i for i in range(images.shape[0]) if i not in i_hold]
-            )
+            # Reference llffhold=8 split (shared llff_holdout_split).
+            i_train, _i_hold = llff_holdout_split(images.shape[0])
             h, w, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
             if hwf0 is None:
                 hwf0 = (h, w, focal)
