@@ -53,9 +53,12 @@ label{margin-right:1.5em}</style>"""
 
 _VIEWER_SCRIPT = """<script>
 const img=document.getElementById('img');let busy=false,queued=null;
+function done(u){busy=false;if(u)img.src=u;if(queued){queued=null;go()}}
 function go(){if(busy){queued=url();return}busy=true;
   const u=url();const i=new Image();
-  i.onload=()=>{img.src=u;busy=false;if(queued){queued=null;go()}};i.src=u}
+  i.onload=()=>done(u);
+  i.onerror=()=>done(null);  // a failed frame must not wedge the viewer
+  i.src=u}
 for(const el of controls) el.addEventListener('input',go);
 </script></body></html>"""
 
@@ -298,6 +301,11 @@ def make_handler(service: RenderService):
                     self._send_json(404, {"error": f"no route {url.path}"})
             except (ValueError, KeyError) as e:
                 self._send_json(400, {"error": str(e)})
+            except FileNotFoundError as e:
+                # Watch-mode race: the newest checkpoint was pruned between
+                # the logdir listing and the open — structured error, retry
+                # next request (a newer one will be there).
+                self._send_json(503, {"error": f"checkpoint vanished: {e}"})
 
         def do_POST(self):  # noqa: N802
             url = urlparse(self.path)
@@ -309,7 +317,9 @@ def make_handler(service: RenderService):
                 body = json.loads(self.rfile.read(length) or b"{}")
                 img = service.render_pose(np.asarray(body["pose"], np.float32))
                 self._send(200, _png_bytes(img), "image/png")
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                # TypeError covers a non-object JSON body (body["pose"] on a
+                # bare list) — still the client's malformed input, still 400.
                 self._send_json(400, {"error": str(e)})
 
         def log_message(self, fmt, *fmt_args):

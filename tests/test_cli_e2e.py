@@ -928,3 +928,25 @@ def test_serve_nerf_cli(scene_config, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_multiscene_cli_data_parallel(tmp_path):
+    """train_multiscene.py on a 2-device virtual mesh: scenes vmapped
+    inside, rays sharded outside (SceneGroup's host-array -> sharded-store
+    placement path, exercised end-to-end)."""
+    save_dir = str(tmp_path / "ms_dp")
+    out = run_cli(
+        "train_multiscene.py",
+        "--num-scenes", "2", "--iters", "6", "--print-every", "3",
+        "--size", "16", "--views", "2", "--batch", "32",
+        "--num-coarse", "4", "--num-fine", "4", "--n-xyz", "2",
+        "--save-dir", save_dir,
+        env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    assert "data-parallel over 2 devices" in out, out
+    assert os.path.exists(
+        os.path.join(save_dir, "scene0", "checkpoint00006.ntc")
+    )
+    assert os.path.exists(
+        os.path.join(save_dir, "scene1", "checkpoint00006.ntc")
+    )

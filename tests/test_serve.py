@@ -227,7 +227,22 @@ def test_viewer_html_variants():
     from serve_nerf import viewer_html
 
     orbit = viewer_html(ndc=False, num_frames=40)
-    assert "/render?theta=" in orbit and "frame" not in orbit
+    assert "/render?theta=" in orbit and "/render?frame" not in orbit
     ndc = viewer_html(ndc=True, num_frames=120)
     assert "/render?frame=" in ndc and 'max="119"' in ndc
     assert "theta" not in ndc
+
+
+def test_post_pose_non_object_body_is_400(server):
+    """A JSON body that isn't an object (bare pose list, no {"pose": ...}
+    wrapper) must still be a 400, not a TypeError-500."""
+    base, _ = server
+    req = urllib.request.Request(
+        base + "/pose",
+        data=json.dumps([[1.0, 0.0, 0.0, 0.0]]).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 400

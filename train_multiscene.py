@@ -48,7 +48,7 @@ from nerf_tpu.engine.checkpoint import save_checkpoint
 from nerf_tpu.engine.renderer import RenderSettings
 from nerf_tpu.engine.train import make_optimizer
 from nerf_tpu.models import FlexibleNeRFModel
-from nerf_tpu.parallel import make_mesh, replicate_tree
+from nerf_tpu.parallel import DATA_AXIS, make_mesh, replicate_tree
 from nerf_tpu.parallel.multiscene import (
     create_multiscene_state,
     make_multiscene_train_loop,
@@ -76,16 +76,23 @@ class SceneGroup:
         S = len(names)
         n_min = min(st[0].shape[0] for st in stores)
         if mesh is not None:
-            n_min -= n_min % len(mesh.devices.flat)
-        ro = jnp.asarray(np.stack([st[0][:n_min] for st in stores]))
-        rd = jnp.asarray(np.stack([st[1][:n_min] for st in stores]))
-        tgt = jnp.asarray(np.stack([st[2][:n_min] for st in stores]))
+            # The ray axis shards over the mesh's DATA axis (not necessarily
+            # every device on a multi-axis mesh).
+            n_min -= n_min % mesh.shape[DATA_AXIS]
+        ro = np.stack([st[0][:n_min] for st in stores])
+        rd = np.stack([st[1][:n_min] for st in stores])
+        tgt = np.stack([st[2][:n_min] for st in stores])
         self.state = create_multiscene_state(
             model, model, opt, jax.random.PRNGKey(seed), S
         )
         if mesh is not None:
             self.state = replicate_tree(mesh, self.state)
+            # Host arrays go STRAIGHT to the sharded placement — a
+            # jnp.asarray first would materialize each full (S, N, 3) store
+            # on device 0 before resharding (transient 2x HBM).
             ro, rd, tgt = shard_multiscene_stores(mesh, ro, rd, tgt)
+        else:
+            ro, rd, tgt = jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(tgt)
         self.ro, self.rd, self.tgt = ro, rd, tgt
         self.metrics = None
         print(f"[{tag}] {S} scenes x {n_min:,} rays "
