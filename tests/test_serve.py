@@ -246,3 +246,48 @@ def test_post_pose_non_object_body_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(req, timeout=30)
     assert exc_info.value.code == 400
+
+
+def test_watch_checkpoint_vanished_is_503(tmp_path, monkeypatch):
+    """Watch-mode race (newest checkpoint pruned between the logdir listing
+    and the open) returns a structured 503, not a raw 500 traceback."""
+    import threading as _threading
+
+    from serve_nerf import RenderService, serve
+
+    cfg_path = tmp_path / "serve.yml"
+    cfg_path.write_text(_CFG)
+    model = FlexibleNeRFModel(
+        num_layers=2, hidden_size=16,
+        num_encoding_fn_xyz=2, num_encoding_fn_dir=1,
+    )
+    logdir = tmp_path / "run"
+    logdir.mkdir()
+    save_checkpoint(str(logdir / "checkpoint00010.ntc"), {
+        "step": 10,
+        "params_coarse": model.init(jax.random.PRNGKey(0)),
+        "params_fine": None,
+    })
+    service = RenderService(load_config(str(cfg_path)),
+                            watch_logdir=str(logdir), renderer="xla")
+    # A newer checkpoint "lands"... and is pruned before the open.
+    (logdir / "checkpoint00020.ntc").touch()
+    os.unlink(logdir / "checkpoint00020.ntc")
+    import nerf_tpu.engine.checkpoint as ckpt_mod
+
+    monkeypatch.setattr(
+        ckpt_mod, "latest_checkpoint",
+        lambda d: os.path.join(d, "checkpoint00020.ntc"),
+    )
+    httpd = serve(service, "127.0.0.1", 0)
+    thread = _threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(base + "/render?frame=0", timeout=30)
+        assert exc_info.value.code == 503
+        assert "checkpoint vanished" in json.loads(exc_info.value.read())["error"]
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5)
