@@ -135,20 +135,27 @@ def _rebuild_tensor(storage, storage_offset, size, stride):
     return _LazyTensor(storage, storage_offset, size, stride)
 
 
+# Data-only numpy scalar reconstruction: reference ray caches
+# (cache_dataset.py:104-110) store focal_length as a numpy float, which
+# torch.save pickles via numpy.core.multiarray.scalar(dtype, bytes).
+# np.core is the deprecated pre-NumPy-2 alias (np._core after); resolve
+# whichever this numpy has, lazily, so neither era's shim is touched
+# (an eager inner getattr would trip np.core's DeprecationWarning on
+# NumPy 2, and chain AttributeError on None if both were absent).
+if hasattr(np, "_core"):
+    _np_core = np._core
+elif hasattr(np, "core"):
+    _np_core = np.core
+else:  # pragma: no cover - no known numpy lacks both
+    raise ImportError("numpy exposes neither _core nor core")
+
 _ALLOWED = {
     ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
     ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
     ("collections", "OrderedDict"): OrderedDict,
     ("torch.serialization", "_get_layout"): lambda name: None,
-    # Data-only numpy scalar reconstruction: reference ray caches
-    # (cache_dataset.py:104-110) store focal_length as a numpy float, which
-    # torch.save pickles via numpy.core.multiarray.scalar(dtype, bytes).
-    # np.core is the deprecated pre-NumPy-2 alias (np._core after); resolve
-    # whichever this numpy has so the import never breaks on either era.
-    ("numpy.core.multiarray", "scalar"):
-        getattr(np, "_core", getattr(np, "core", None)).multiarray.scalar,
-    ("numpy._core.multiarray", "scalar"):
-        getattr(np, "_core", getattr(np, "core", None)).multiarray.scalar,
+    ("numpy.core.multiarray", "scalar"): _np_core.multiarray.scalar,
+    ("numpy._core.multiarray", "scalar"): _np_core.multiarray.scalar,
     ("numpy", "dtype"): np.dtype,
     # protocol-2 pickles of numpy scalars carry the raw bytes as a latin-1
     # str rebuilt via _codecs.encode — pure data transcoding, no execution.

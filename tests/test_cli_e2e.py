@@ -242,8 +242,6 @@ def test_cache_dataset_reference_format_roundtrip(blender_scene, tmp_path):
     reference-cache ingest reads back with matching ray counts."""
     from nerf_tpu.engine.checkpoint import _import_torch
 
-    
-
     torch = _import_torch()
 
     cachedir = str(tmp_path / "refcache")
@@ -293,8 +291,6 @@ def test_train_from_reference_format_cache(blender_scene, scene_config,
     cache_dataset.py:73-115) feeds train_nerf.py --overrides dataset.cachedir
     directly — the reference's cachedir surface (train_nerf.py:175-193)."""
     from nerf_tpu.engine.checkpoint import _import_torch
-
-    
 
     torch = _import_torch()
 

@@ -137,8 +137,6 @@ def reference_cache_dir(tmp_path):
     stacked (2, N, 3) torch tensors, RGBA target, numpy-float focal)."""
     from nerf_tpu.engine.checkpoint import _import_torch
 
-    
-
     torch = _import_torch()
 
     rng = np.random.default_rng(3)
