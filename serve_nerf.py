@@ -18,9 +18,12 @@ Endpoints:
                         camera-to-world) -> PNG
   GET  /health          JSON status + per-frame latency stats
 
-Requests are served sequentially by design: one TPU process owns the chip,
-and renders saturate it — concurrency belongs at the replica level (one
-server per chip over a mesh), not inside one device's queue.
+Device renders are serialized by a lock (one TPU process owns the chip, and
+renders saturate it — render concurrency belongs at the replica level: one
+server per chip over a mesh), but socket I/O is threaded
+(``ThreadingHTTPServer``): a stalled or slow-reading client holds only its
+own connection thread, never the device, so ``/health`` and other renders
+keep answering — the liveness property a sequential server can't provide.
 
 ``--logdir`` (instead of ``--checkpoint``) watches a training run: each
 request renders the run's newest checkpoint, hot-swapping params when a new
@@ -39,8 +42,10 @@ import argparse
 import dataclasses
 import io
 import json
+import sys
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
@@ -170,6 +175,12 @@ class RenderService:
         self.checkpoint_step = None if step is None else int(step)
         self.frames_served = 0
         self.last_render_s: Optional[float] = None
+        # One chip, one render at a time: request handlers run in threads
+        # (ThreadingHTTPServer), so the device pipeline — reload check +
+        # param swap + render + latency bookkeeping — is serialized here.
+        # Socket I/O (reading requests, writing PNGs to slow clients) stays
+        # outside the lock and never blocks the device or /health.
+        self._device_lock = threading.Lock()
         # Compile + warm before accepting traffic (first compile is ~40 s on
         # the remote relay; a cold first request would look like an outage).
         t0 = time.time()
@@ -211,16 +222,17 @@ class RenderService:
         pose = np.asarray(pose, np.float32)
         if pose.shape not in ((3, 4), (4, 4)):
             raise ValueError(f"pose must be (3, 4) or (4, 4), got {pose.shape}")
-        self._maybe_reload()
-        t0 = time.time()
-        img = np.asarray(
-            self._render(
-                self.params_coarse, self.params_fine,
-                self._jnp.asarray(pose[:3, :4]),
+        with self._device_lock:
+            self._maybe_reload()
+            t0 = time.time()
+            img = np.asarray(
+                self._render(
+                    self.params_coarse, self.params_fine,
+                    self._jnp.asarray(pose[:3, :4]),
+                )
             )
-        )
-        self.last_render_s = time.time() - t0
-        self.frames_served += 1
+            self.last_render_s = time.time() - t0
+            self.frames_served += 1
         return img
 
     def render_frame(self, index: int) -> np.ndarray:
@@ -268,6 +280,11 @@ def _png_bytes(img: np.ndarray) -> bytes:
 
 def make_handler(service: RenderService):
     class Handler(BaseHTTPRequestHandler):
+        # A silent client (connected, never sends a request line) must not
+        # hold its handler thread forever: close the connection after this
+        # many seconds of socket inactivity.
+        timeout = 120
+
         def _send(self, code: int, body: bytes, ctype: str) -> None:
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -278,9 +295,25 @@ def make_handler(service: RenderService):
         def _send_json(self, code: int, obj) -> None:
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _respond(self, fn) -> None:
+            """Shared error contract for GET and POST: client-caused
+            failures -> structured 400; the watch-mode checkpoint-vanished
+            race -> 503 (the newest checkpoint was pruned between the logdir
+            listing and the open — retry next request, a newer one will be
+            there)."""
+            try:
+                fn()
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                # TypeError covers a non-object JSON body (body["pose"] on a
+                # bare list) — still the client's malformed input, still 400.
+                self._send_json(400, {"error": str(e)})
+            except FileNotFoundError as e:
+                self._send_json(503, {"error": f"checkpoint vanished: {e}"})
+
         def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
             url = urlparse(self.path)
-            try:
+
+            def handle():
                 if url.path == "/":
                     html = viewer_html(service.use_ndc, len(service.poses))
                     self._send(200, html.encode(), "text/html")
@@ -299,28 +332,22 @@ def make_handler(service: RenderService):
                     self._send(200, _png_bytes(img), "image/png")
                 else:
                     self._send_json(404, {"error": f"no route {url.path}"})
-            except (ValueError, KeyError) as e:
-                self._send_json(400, {"error": str(e)})
-            except FileNotFoundError as e:
-                # Watch-mode race: the newest checkpoint was pruned between
-                # the logdir listing and the open — structured error, retry
-                # next request (a newer one will be there).
-                self._send_json(503, {"error": f"checkpoint vanished: {e}"})
+
+            self._respond(handle)
 
         def do_POST(self):  # noqa: N802
             url = urlparse(self.path)
             if url.path != "/pose":
                 self._send_json(404, {"error": f"no route {url.path}"})
                 return
-            try:
+
+            def handle():
                 length = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 img = service.render_pose(np.asarray(body["pose"], np.float32))
                 self._send(200, _png_bytes(img), "image/png")
-            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
-                # TypeError covers a non-object JSON body (body["pose"] on a
-                # bare list) — still the client's malformed input, still 400.
-                self._send_json(400, {"error": str(e)})
+
+            self._respond(handle)
 
         def log_message(self, fmt, *fmt_args):
             print(f"[serve] {self.address_string()} {fmt % fmt_args}",
@@ -329,11 +356,27 @@ def make_handler(service: RenderService):
     return Handler
 
 
-def serve(service: RenderService, host: str, port: int) -> HTTPServer:
-    """Bind and return the (sequential) HTTP server; caller runs
-    ``serve_forever()``. Split from main() so tests can bind port 0 and
-    drive the server from a thread."""
-    return HTTPServer((host, port), make_handler(service))
+def serve(service: RenderService, host: str, port: int) -> ThreadingHTTPServer:
+    """Bind and return the HTTP server; caller runs ``serve_forever()``.
+    Threaded at the socket layer (one handler thread per connection, so a
+    stalled client can't wedge /health) with device renders serialized by
+    ``RenderService._device_lock``. Split from main() so tests can bind
+    port 0 and drive the server from a thread."""
+    class Server(ThreadingHTTPServer):
+        daemon_threads = True  # a hung client thread never blocks exit
+
+        def handle_error(self, request, client_address):
+            # A client that disconnects mid-response (or times out mid-
+            # request) is routine at this layer — one log line, no traceback.
+            exc = sys.exception()
+            if isinstance(exc, (BrokenPipeError, ConnectionResetError,
+                                TimeoutError)):
+                print(f"[serve] {client_address[0]} dropped: {exc!r}",
+                      flush=True)
+                return
+            super().handle_error(request, client_address)
+
+    return Server((host, port), make_handler(service))
 
 
 def main():

@@ -288,6 +288,71 @@ def test_watch_checkpoint_vanished_is_503(tmp_path, monkeypatch):
             urllib.request.urlopen(base + "/render?frame=0", timeout=30)
         assert exc_info.value.code == 503
         assert "checkpoint vanished" in json.loads(exc_info.value.read())["error"]
+        # POST /pose hits the same race through the same shared error
+        # contract (the reload runs inside render_pose either way).
+        pose = np.eye(4, dtype=np.float32)[:3].tolist()
+        req = urllib.request.Request(
+            base + "/pose",
+            data=json.dumps({"pose": pose}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 503
+        assert "checkpoint vanished" in json.loads(exc_info.value.read())["error"]
     finally:
         httpd.shutdown()
         thread.join(timeout=5)
+
+
+def test_stalled_client_does_not_wedge_health(server):
+    """Liveness under a hung connection: a client that connects and never
+    finishes its request holds only its own handler thread
+    (ThreadingHTTPServer); /health and further renders keep answering.
+    Under the old sequential HTTPServer this deadlocks until the stalled
+    socket closes."""
+    import socket
+
+    base, _ = server
+    host, port = base.removeprefix("http://").split(":")
+    stalled = socket.create_connection((host, int(port)), timeout=30)
+    try:
+        # A started-but-never-finished request: the handler thread blocks
+        # reading headers (no terminating blank line) for its whole timeout.
+        # Stalling a /health request (not a render) keeps this test free of
+        # side effects: closing an incomplete request makes http.server
+        # treat EOF as end-of-headers and EXECUTE it, which would bump
+        # frames_served under a later test.
+        stalled.sendall(b"GET /health HTTP/1.1\r\nHost: x\r\n")
+        status, _, body = _get(base + "/health")
+        assert status == 200 and json.loads(body)["status"] == "ok"
+        # A full render also still goes through.
+        status, ctype, _img = _get(base + "/render?frame=1")
+        assert status == 200 and ctype == "image/png"
+    finally:
+        stalled.close()
+
+
+def test_concurrent_renders_serialize_on_device_lock(server):
+    """Parallel render requests all succeed: handler threads queue on the
+    device lock (one chip, one render at a time), every response is a valid
+    PNG, and the latency stats stay coherent."""
+    base, service = server
+    before = service.frames_served
+    n = 4
+    results = [None] * n
+
+    def fetch(i):
+        results[i] = _get(base + f"/render?theta={40 + i * 10}&phi=-30&radius=4")
+
+    threads = [threading.Thread(target=fetch, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for status, ctype, body in results:
+        assert status == 200 and ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    assert service.frames_served == before + n
+    assert service.last_render_s is not None and service.last_render_s > 0
