@@ -116,9 +116,13 @@ def _default_mode_cfg(train: bool) -> dict:
 
 def load_config(path: str, overrides: Optional[list] = None) -> CfgNode:
     """Load a YAML (or Python-source) config merged over the defaults
-    (new keys permitted). The reference's pre-rename schema keys
-    (config/default.yml, config/tiny.yaml — SURVEY.md §2.15) are registered
-    as renamed so loading an old-schema file raises with the new name."""
+    (new keys permitted). The reference's pre-rename schema
+    (config/default.yml, config/tiny.yaml — SURVEY.md §2.15) is
+    auto-migrated at merge time, so the reference's OWN shipped legacy
+    files load here even though its train_nerf.py cannot consume them.
+    Legacy keys arriving through ``overrides`` still raise with the new
+    name (the renamed-key registry stays as the backstop for any legacy
+    spelling the migration doesn't cover)."""
     cfg = get_default_config()
     cfg.set_new_allowed(True)
     cfg.register_renamed_key(
@@ -130,11 +134,74 @@ def load_config(path: str, overrides: Optional[list] = None) -> CfgNode:
         "models.fine.num_encoding_functions", "models.fine.num_encoding_fn_xyz"
     )
     cfg.register_renamed_key("nerf.ndc", "dataset.no_ndc", "note the inverted sense")
-    cfg.merge_from_file(path)
+    from .cfgnode import _load_cfg_py_source, load_cfg
+
+    if path.endswith(".py"):
+        loaded = _load_cfg_py_source(path)
+    else:
+        with open(path, "r") as f:
+            loaded = load_cfg(f)
+    migrations = migrate_legacy_schema(loaded)
+    if migrations:
+        import warnings
+
+        warnings.warn(
+            f"{path}: migrated pre-rename schema keys: " + "; ".join(migrations)
+        )
+    cfg.merge_from_other_cfg(loaded)
     if overrides:
         cfg.merge_from_list(overrides)
     _validate_encoding_fns(cfg)
     return cfg
+
+
+def migrate_legacy_schema(loaded: CfgNode) -> list:
+    """Rewrite the reference's pre-rename schema keys in place, returning a
+    description of each migration applied (empty for current-schema files).
+
+    Covers everything config/default.yml and config/tiny.yaml use that the
+    current schema spells differently (/root/reference/config/default.yml):
+      - models.*.num_encoding_functions: N   (one count for both encoders)
+        -> num_encoding_fn_xyz = num_encoding_fn_dir = N
+      - nerf.ndc: B                          (inverted sense, moved section)
+        -> dataset.no_ndc = not B
+      - nerf.near / nerf.far                 (moved section)
+        -> dataset.near / dataset.far
+    An explicit current-schema key in the same file always wins over the
+    value a legacy key would migrate to.
+    """
+    applied = []
+    models = loaded.get("models")
+    if isinstance(models, dict):
+        for which in ("coarse", "fine"):
+            m = models.get(which)
+            if isinstance(m, dict) and "num_encoding_functions" in m:
+                n = m.pop("num_encoding_functions")
+                for new in ("num_encoding_fn_xyz", "num_encoding_fn_dir"):
+                    if new not in m:
+                        m[new] = n
+                applied.append(
+                    f"models.{which}.num_encoding_functions={n} -> "
+                    "num_encoding_fn_xyz/num_encoding_fn_dir"
+                )
+    nerf = loaded.get("nerf")
+    if isinstance(nerf, dict):
+        if "dataset" not in loaded and any(
+            k in nerf for k in ("ndc", "near", "far")
+        ):
+            loaded["dataset"] = CfgNode({})
+        if "ndc" in nerf:
+            ndc = nerf.pop("ndc")
+            if "no_ndc" not in loaded["dataset"]:
+                loaded["dataset"]["no_ndc"] = not bool(ndc)
+            applied.append(f"nerf.ndc={ndc} -> dataset.no_ndc={not bool(ndc)}")
+        for k in ("near", "far"):
+            if k in nerf:
+                v = nerf.pop(k)
+                if k not in loaded["dataset"]:
+                    loaded["dataset"][k] = v
+                applied.append(f"nerf.{k}={v} -> dataset.{k}")
+    return applied
 
 
 # The registry of encoding functions selectable via nerf.encode_position_fn /

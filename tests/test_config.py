@@ -1,6 +1,8 @@
 """Config system tests: CfgNode semantics + loading the REFERENCE's own YAML
 files (API-compatibility check) + builder functions."""
 
+import os
+
 import pytest
 import yaml
 
@@ -175,15 +177,75 @@ def test_renamed_key_registry():
         cfg.merge_from_list(["model.hidden", "64"])
 
 
-def test_old_schema_config_raises_rename_error(tmp_path):
+def test_old_schema_config_auto_migrates(tmp_path):
     """The reference's pre-rename schema (config/default.yml uses
-    num_encoding_functions) fails with a migration hint, not silently."""
+    num_encoding_functions, nerf.ndc, nerf.near/far) loads via merge-time
+    migration, with a warning naming what moved."""
     path = tmp_path / "old.yml"
     path.write_text(
         "models:\n  coarse:\n    num_encoding_functions: 6\n"
+        "nerf:\n  ndc: True\n  near: 0.\n  far: 1.\n"
     )
+    with pytest.warns(UserWarning, match="migrated pre-rename schema"):
+        cfg = load_config(str(path))
+    assert cfg.models.coarse.num_encoding_fn_xyz == 6
+    assert cfg.models.coarse.num_encoding_fn_dir == 6
+    assert cfg.dataset.no_ndc is False  # inverted sense: ndc True -> no_ndc False
+    assert cfg.dataset.near == 0.0 and cfg.dataset.far == 1.0
+    # The legacy spelling never lands in the merged tree.
+    assert "num_encoding_functions" not in cfg.models.coarse
+    assert "ndc" not in cfg.nerf and "near" not in cfg.nerf
+
+
+def test_old_schema_explicit_new_key_wins(tmp_path):
+    """A file carrying BOTH spellings keeps the explicit current-schema
+    value; the legacy key migrates only into gaps."""
+    path = tmp_path / "mixed.yml"
+    path.write_text(
+        "models:\n  coarse:\n"
+        "    num_encoding_functions: 6\n"
+        "    num_encoding_fn_xyz: 10\n"
+    )
+    with pytest.warns(UserWarning):
+        cfg = load_config(str(path))
+    assert cfg.models.coarse.num_encoding_fn_xyz == 10  # explicit wins
+    assert cfg.models.coarse.num_encoding_fn_dir == 6   # migrated into the gap
+
+
+def test_old_schema_override_still_raises(tmp_path):
+    """Legacy keys arriving through --overrides (not a file) still raise
+    with the new name — the renamed-key registry is the backstop."""
+    path = tmp_path / "ok.yml"
+    path.write_text("experiment:\n  id: x\n")
     with pytest.raises(KeyError, match="num_encoding_fn_xyz"):
-        load_config(str(path))
+        load_config(str(path),
+                    ["models.coarse.num_encoding_functions", "6"])
+
+
+@pytest.mark.parametrize("name", ["default.yml", "tiny.yaml"])
+def test_reference_legacy_configs_load(name):
+    """The reference's SHIPPED legacy-schema files load end-to-end —
+    strictly more functional than the reference, whose own train_nerf.py
+    cannot consume them (SURVEY.md §2.15). Values assert against
+    /root/reference/config/default.yml:20,31 (tiny.yaml shares the schema)."""
+    path = os.path.join("/root/reference/config", name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference config {name} not present")
+    with pytest.warns(UserWarning, match="migrated pre-rename schema"):
+        cfg = load_config(path)
+    assert cfg.models.coarse.num_encoding_fn_xyz == 6
+    assert cfg.models.fine.num_encoding_fn_dir == 6
+    assert cfg.dataset.no_ndc is False          # nerf.ndc: True, inverted
+    assert cfg.dataset.near == 0.0 and cfg.dataset.far == 1.0
+    assert cfg.optimizer.type == "SGD"
+    # The migrated tree builds real engine objects.
+    from nerf_tpu.config import render_settings_from_config
+
+    settings = render_settings_from_config(cfg, "train", hwf=(8, 8, 4.0))
+    assert settings.use_ndc is True
+    assert settings.near == 0.0 and settings.far == 1.0
+    expected_coarse = 8 if name == "tiny.yaml" else 64
+    assert settings.num_coarse == expected_coarse
 
 
 def test_python_source_config(tmp_path):
