@@ -97,7 +97,9 @@ def test_corrupted_kernel_never_headlines(monkeypatch, capsys):
     back to the XLA parity path and mark the record degraded."""
     calls = {}
 
-    monkeypatch.setattr(bench, "bench_numerics_guard", lambda: 5.0)
+    monkeypatch.setattr(
+        bench, "bench_numerics_guard", lambda: [5.0, 5.4, 4.8]
+    )
 
     def fake_pipelined(side, use_pallas=True):
         calls["sustained_use_pallas"] = use_pallas
@@ -152,9 +154,33 @@ def test_missing_guard_degrades_render_to_xla(monkeypatch):
     assert r["pallas_degraded"] is True and r["render_path"] == "xla"
 
 
+def test_guard_median_is_robust_to_single_pair_drift(monkeypatch):
+    """The gate is on the MEDIAN of the seed-pair readings: one pair's floor
+    drifting below the gate (benign Mosaic scheduling change) must not
+    degrade the record, while a regression on every pair must."""
+    monkeypatch.setattr(
+        bench, "bench_numerics_guard", lambda: [35.0, 39.1, 46.4]
+    )
+    r = {}
+    bench._stage_guard(r)
+    assert r["pallas_numerics_ok"] is True          # median 39.1 > 37.5
+    assert r["pallas_vs_xla_psnr_db"] == 39.1
+    assert r["pallas_vs_xla_psnr_db_per_pair"] == [35.0, 39.1, 46.4]
+
+    monkeypatch.setattr(
+        bench, "bench_numerics_guard", lambda: [5.0, 6.1, 7.2]
+    )
+    r2 = {}
+    bench._stage_guard(r2)
+    assert r2["pallas_numerics_ok"] is False        # real regression: all low
+    assert r2["pallas_vs_xla_psnr_db"] == 6.1
+
+
 def test_healthy_guard_keeps_pallas_path(monkeypatch):
     captured = {}
-    monkeypatch.setattr(bench, "bench_numerics_guard", lambda: 40.0)
+    monkeypatch.setattr(
+        bench, "bench_numerics_guard", lambda: [38.9, 39.1, 46.4]
+    )
     monkeypatch.setattr(
         bench, "bench_render_pipelined",
         lambda side, use_pallas=True: captured.setdefault("up", use_pallas) and 2.0,
