@@ -19,8 +19,9 @@ order puts the headline metrics first:
   -- headline complete; extras only while wall-clock budget remains --
   5. 400px render, 6. 800px single-frame, 7. 800px XLA path, 8. multiscene,
   9. 800px PaperNeRF single-frame (second fused family), 10. PaperNeRF
-  sustained pipelined render, 11. PaperNeRF 8x256 bf16 training (MFU datum
-  for the width-256 custom-VJP decision)
+  sustained pipelined render, 11. PaperNeRF 8x256 bf16 training, XLA path
+  (the width-256 custom-VJP decision datum), 12. the same loop through the
+  ADOPTED fused custom-VJP training kernels (guard-gated like renders)
 
 Wall-clock budget: env NERF_BENCH_BUDGET_S (default 420 s). A stage is
 skipped when the remaining budget can't cover its estimate (remote compiles
@@ -94,12 +95,14 @@ PALLAS_GUARD_MIN_PSNR_DB = 37.5
 
 def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
                 compute_dtype: str = "float32",
-                family: str = "flexible") -> float:
+                family: str = "flexible",
+                use_pallas_train: bool = False) -> float:
     """Steady-state training throughput via the production scan loop
     (train_nerf.py's hot path): K full steps per host dispatch, on-device
     ray sampling included. family="paper" trains the 8x256 PaperNeRFModel
     on the same protocol (the shape where the MXU pays — docs/PARITY.md
-    width microbench)."""
+    width microbench); use_pallas_train additionally routes its fwd+bwd
+    through the fused custom-VJP kernels (ops/pallas/paper_train.py)."""
     from nerf_tpu.engine.renderer import RenderSettings
     from nerf_tpu.engine.train import (
         create_train_state,
@@ -112,7 +115,7 @@ def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
         num_coarse=64, num_fine=64, perturb=True,
         radiance_field_noise_std=0.2, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, use_pallas_train=use_pallas_train,
     )
     if family == "paper":
         model = PaperNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
@@ -564,6 +567,30 @@ def _stage_train_paper_bf16(r: dict) -> None:
     r["mfu_pct_paper_bf16"] = round(100.0 * tflops / PEAK_BF16_TFLOPS, 1)
 
 
+def _stage_train_paper_pallas_bf16(r: dict) -> None:
+    """The ADOPTED width-256 custom-VJP training kernels in the production
+    scan loop (ops/pallas/paper_train.py; isolation measurement: 1.34x at
+    64 samples / 1.75x at 128 over XLA fwd+bwd — docs/PARITY.md). Gated on
+    the SAME numerics guard as the render stages: if the guard failed or
+    never ran this process, the stage records the XLA path instead."""
+    use_pallas = _use_pallas_path(r)
+    rps = bench_train(compute_dtype="bfloat16", family="paper",
+                      use_pallas_train=use_pallas)
+    key = "train_paper_pallas_rays_per_sec_bf16" if use_pallas else \
+        "train_paper_pallas_rays_per_sec_bf16_degraded_xla"
+    r[key] = round(rps, 1)
+    if use_pallas:
+        tflops = rps * PAPER_TRAIN_FLOPS_PER_RAY / 1e12
+        r["train_paper_pallas_tflops_bf16"] = round(tflops, 1)
+        r["mfu_pct_paper_pallas_bf16"] = round(
+            100.0 * tflops / PEAK_BF16_TFLOPS, 1
+        )
+        if "train_paper_rays_per_sec_bf16" in r:
+            r["train_paper_pallas_speedup"] = round(
+                rps / r["train_paper_rays_per_sec_bf16"], 2
+            )
+
+
 # (name, wall-clock estimate s, fn). Estimates are compile-dominated
 # (~40 s/program over the remote relay, often cached) + run time + margin;
 # measured warm-claim stage times are 13-30 s each (round 3).
@@ -582,6 +609,7 @@ EXTRA_STAGES = [
     ("render_800_paper", 90, _stage_render_800_paper),
     ("render_800_paper_sustained", 70, _stage_render_800_paper_sustained),
     ("train_paper_bf16", 80, _stage_train_paper_bf16),
+    ("train_paper_pallas_bf16", 80, _stage_train_paper_pallas_bf16),
 ]
 STAGES = HEADLINE_STAGES + EXTRA_STAGES
 

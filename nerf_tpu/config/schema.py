@@ -104,6 +104,13 @@ def _default_mode_cfg(train: bool) -> dict:
     }
     if train:
         cfg["num_random_rays"] = 1024
+        # Fused custom-VJP training kernels (PaperNeRF 8x256 only; measured
+        # 1.34-1.75x over XLA fwd+bwd at compute_dtype bfloat16, 64-128
+        # samples/ray — docs/PARITY.md). Under float32 the kernels run
+        # HIGHEST-precision for parity and measure ~0.5x XLA (numerics
+        # checking only). Zero grads to rays by design; never used by pose
+        # optimization.
+        cfg["use_pallas_train"] = False
         # Ray-batch selection from the device-resident store (engine.train.
         # sample_ray_batch): "gather" = independent uniform rows (exact
         # with-replacement), "sliced" = random contiguous window of the
@@ -262,6 +269,7 @@ def render_settings_from_config(
         log_sampling_xyz=bool(model_cfg.log_sampling_xyz),
         log_sampling_dir=bool(model_cfg.log_sampling_dir),
         use_pallas=bool(getattr(mode_cfg, "use_pallas", False)),
+        use_pallas_train=bool(getattr(mode_cfg, "use_pallas_train", False)),
         remat=bool(getattr(mode_cfg, "remat", False)),
         compute_dtype=str(getattr(mode_cfg, "compute_dtype", "float32")),
     )

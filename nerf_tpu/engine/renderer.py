@@ -92,6 +92,14 @@ class RenderSettings:
     # supports_fused) and PaperNeRF 8x256 (ops/pallas/paper_t.py,
     # supports_fused_paper); other shapes fall back to XLA.
     use_pallas: bool = False
+    # Use the fused Pallas TRAINING kernels (custom-VJP forward+backward,
+    # ops/pallas/paper_train.py) for radiance-field evaluation. PaperNeRF
+    # 8x256 only; measured 1.34x (64 samples) / 1.75x (128) over XLA
+    # fwd+bwd on a v5e (docs/PARITY.md width-256 custom-VJP row).
+    # TRAINING-ONLY CONTRACT: gradients w.r.t. points/viewdirs are zero by
+    # design (rays are data; fine z-samples are detached) — never enable
+    # for pose/camera optimization.
+    use_pallas_train: bool = False
     # Rematerialize the encode+MLP evaluation in the backward pass instead of
     # storing per-point activations (jax.checkpoint). Trades ~1/3 more FLOPs
     # for O(points x hidden) less HBM traffic — wins for large ray batches
@@ -190,6 +198,23 @@ def encode_points(
 def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     """Evaluate the radiance field at sample points: fused Pallas kernel when
     enabled + applicable, else positional-encode + MLP apply via XLA."""
+    # Training kernels first: the custom-VJP pair replaces BOTH directions
+    # (use_pallas_train — see the RenderSettings field for the contract).
+    if (s.use_pallas_train and viewdirs is not None and s.log_sampling_xyz
+            and s.log_sampling_dir and s.pe_alpha_xyz < 0.0
+            and jax.default_backend() == "tpu"):
+        from ..ops.pallas.paper_train import (
+            fused_paper_mlp_train,
+            supports_fused_paper_train,
+        )
+
+        if supports_fused_paper_train(model, params) and pts.ndim == 3:
+            return fused_paper_mlp_train(
+                params, pts, viewdirs,
+                num_freq_xyz=model.num_encoding_fn_xyz,
+                num_freq_dir=model.num_encoding_fn_dir,
+                compute_dtype=s.compute_dtype,
+            )
     # pe_alpha annealing is XLA-path only (the fused kernel computes its own
     # unwindowed encoding in-register).
     if (s.use_pallas and viewdirs is not None and s.log_sampling_xyz

@@ -1,0 +1,584 @@
+"""Fused PaperNeRF (8x256) TRAINING kernels: custom-VJP forward + backward.
+
+Round-4 verdict item 1: the width-128 custom-VJP training kernel was
+retired with data (XLA fwd already within 1.15x at training batch sizes —
+docs/PARITY.md dead-ends list), but that argument was made at 128-wide
+shapes. At the Paper family's 256-wide shape the on-chip probe
+(tools/paper_train_probe.py, round 5) measures XLA fwd+bwd at 84 TFLOP/s
+(64 samples) and 65 TFLOP/s (128 samples) while the fused forward kernel
+runs 103-104 TFLOP/s — a 1.23-1.58x projected speedup for a fused
+backward running at the forward's rate. This module is that kernel.
+
+Design (feature-major, same layout family as ops/pallas/paper_t.py):
+
+  * ``custom_vjp`` over the radiance-field evaluation
+    (params, pts (N,S,3), viewdirs (N,3)) -> (N,S,4).
+  * FORWARD: the paper_t kernel extended to also emit the backward's
+    residuals — encoding, the 8 post-ReLU trunk activations, feat, and the
+    3 post-ReLU dir activations — as compute-dtype tensors in the same
+    (C, lanes) tile layout. Saving beats in-kernel recomputation: a
+    rematerializing backward costs 3x-forward FLOPs (total 4x vs XLA's 3x,
+    erasing the rate advantage), while the residual DMA (~5.5 KB/point
+    bf16) overlaps MXU compute.
+  * BACKWARD: one Pallas kernel per step computes every parameter gradient:
+    dX = W^T dY and dW = dY X^T per layer (both MXU contractions), dW/db
+    blocks accumulated across the grid in VMEM (constant out-block index;
+    init at step 0). The per-ray direction contribution's gradient (ddc)
+    accumulates over each ray tile's sample chunks and is turned into the
+    dir-row gradient of ``layers_dir[0]`` on the host
+    (direnc^T @ ddc^T), mirroring the forward's host-side dcontrib split.
+  * Gradients w.r.t. pts and viewdirs are ZERO by design: in training,
+    rays/targets are data and the fine z-samples are detached (reference
+    train_utils.py:103), so no gradient flows through either. This kernel
+    must NOT be used for pose/camera optimization (engine/pose_opt.py
+    differentiates through viewdirs) — the dispatch gate is the separate
+    ``RenderSettings.use_pallas_train`` flag, which only the ray-batch
+    trainer sets.
+
+Paper quirks kept exactly (reference nerf/models.py:123-183): fc_feat
+output not ReLU'd, alpha read from feat, layers_dir[3] dead (its gradient
+is zero).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .paper_t import (
+    _DIR_WIDTH,
+    _RAYS,
+    _WIDTH,
+    _prepare_weights_paper_t,
+    supports_fused_paper,
+)
+
+Params = Dict[str, Any]
+
+# Training tiles are smaller than render tiles: the backward holds the full
+# residual set + all dW accumulators (~2.8 MB f32) in VMEM at once. The
+# residual blocks double-buffer, so the lane budget halves again when they
+# are f32 instead of bf16 (512 lanes of f32 residuals OOM'd the 16 MB VMEM
+# scope by ~5 MB on-chip).
+_MAX_TILE_TRAIN_BF16 = 512   # 128 rays x 4 samples
+_MAX_TILE_TRAIN_F32 = 256    # 128 rays x 2 samples
+
+supports_fused_paper_train = supports_fused_paper
+
+
+def _sample_tile_train(s: int, compute_dtype="bfloat16") -> int:
+    max_tile = (
+        _MAX_TILE_TRAIN_F32
+        if jnp.dtype(compute_dtype) == jnp.float32
+        else _MAX_TILE_TRAIN_BF16
+    )
+    cap = max(1, max_tile // _RAYS)
+    best = 1
+    for d in range(1, min(s, cap) + 1):
+        if s % d == 0:
+            best = d
+    return best
+
+
+def _tile_lanes(x: jnp.ndarray, g_r: int, g_s: int, s_t: int) -> jnp.ndarray:
+    """(N_padded, S, C) -> (C, g_r*g_s*T) sample-major tile layout
+    (lane within a tile = j*_RAYS + r), matching paper_t's transform."""
+    c = x.shape[-1]
+    return (
+        x.reshape(g_r, _RAYS, g_s, s_t, c)
+        .transpose(4, 0, 2, 3, 1)
+        .reshape(c, g_r * g_s * s_t * _RAYS)
+    )
+
+
+def _untile_lanes(x: jnp.ndarray, g_r: int, g_s: int, s_t: int) -> jnp.ndarray:
+    """(C, g_r*g_s*T) -> (N_padded, S, C)."""
+    c = x.shape[0]
+    return (
+        x.reshape(c, g_r, g_s, s_t, _RAYS)
+        .transpose(1, 4, 2, 3, 0)
+        .reshape(g_r * _RAYS, g_s * s_t, c)
+    )
+
+
+def _regroup_gather_indices(num_freq: int) -> np.ndarray:
+    """Row order used by _split_rows' [x | sin | cos] regrouping: grouped
+    row i comes from original (interleaved per-frequency sin/cos,
+    nerf_helpers.py:149-151) row G[i]."""
+    g = [0, 1, 2]
+    for f in range(num_freq):
+        g += [3 + 6 * f + c for c in range(3)]
+    for f in range(num_freq):
+        g += [3 + 6 * f + 3 + c for c in range(3)]
+    return np.asarray(g)
+
+
+def _unregroup_rows(dw_grouped: jnp.ndarray, num_freq: int) -> jnp.ndarray:
+    """Inverse row permutation: (dim_xyz, out) grouped -> reference order."""
+    inv = np.argsort(_regroup_gather_indices(num_freq))
+    return dw_grouped[inv]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: paper_t's evaluation + residual outputs.
+
+
+def _matmul_precision(compute_dtype):
+    """f32 compute means REALLY f32: without this, Mosaic runs f32 dots at
+    the MXU's default (bf16-pass) precision and the f32 parity path carries
+    bf16-class error (~7e-3) — observed on-chip in the backward's bias
+    rows. bf16 compute keeps the fast default."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(compute_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _make_fwd_kernel(compute_dtype, s_tile: int, num_freq_xyz: int):
+    f32 = jnp.float32
+    prec = _matmul_precision(compute_dtype)
+
+    def kernel(
+        pts_ref, dc_ref,
+        w0_ref, b0_ref,
+        wx1_ref, bx1_ref, wx2_ref, bx2_ref, wx3_ref, bx3_ref,
+        w4e_ref, w4h_ref, b4_ref,
+        wx5_ref, bx5_ref, wx6_ref, bx6_ref, wx7_ref, bx7_ref,
+        wfeat_ref, bfeat_ref, walpha_ref, balpha_ref,
+        wd0_ref, bd0_ref, wd1_ref, bd1_ref, wd2_ref, bd2_ref,
+        wrgb_ref, brgb_ref,
+        out_ref,      # (4, T)
+        enc_ref,      # (dim_xyz, T) residual
+        hs_ref,       # (8, 256, T) residual: post-ReLU trunk activations
+        feat_ref,     # (256, T) residual (NOT ReLU'd)
+        ds_ref,       # (3, 128, T) residual: post-ReLU dir activations
+    ):
+        def c(x):
+            return x.astype(compute_dtype)
+
+        def mm(w_ref, x):
+            return jnp.dot(c(w_ref[:]), c(x), preferred_element_type=f32,
+                           precision=prec)
+
+        pts = pts_ref[:]
+        sf = jnp.sin(pts)
+        cf = jnp.cos(pts)
+        sins, coss = [sf], [cf]
+        for _ in range(num_freq_xyz - 1):
+            sf, cf = 2.0 * sf * cf, 1.0 - 2.0 * sf * sf
+            sins.append(sf)
+            coss.append(cf)
+        enc = jnp.concatenate([pts] + sins + coss, axis=0)
+        enc_ref[:] = c(enc)
+
+        h = jnp.maximum(mm(w0_ref, enc) + b0_ref[:], 0.0)
+        hs_ref[0] = c(h)
+        for i, (w_ref, b_ref) in enumerate(
+            ((wx1_ref, bx1_ref), (wx2_ref, bx2_ref), (wx3_ref, bx3_ref))
+        ):
+            h = jnp.maximum(mm(w_ref, h) + b_ref[:], 0.0)
+            hs_ref[i + 1] = c(h)
+        h = jnp.maximum(mm(w4e_ref, enc) + mm(w4h_ref, h) + b4_ref[:], 0.0)
+        hs_ref[4] = c(h)
+        for i, (w_ref, b_ref) in enumerate(
+            ((wx5_ref, bx5_ref), (wx6_ref, bx6_ref), (wx7_ref, bx7_ref))
+        ):
+            h = jnp.maximum(mm(w_ref, h) + b_ref[:], 0.0)
+            hs_ref[i + 5] = c(h)
+
+        feat = mm(wfeat_ref, h) + bfeat_ref[:]
+        feat_ref[:] = c(feat)
+        sigma = mm(walpha_ref, feat) + balpha_ref[:]
+
+        dc = pltpu.repeat(dc_ref[:], s_tile, axis=1)
+        hd = jnp.maximum(mm(wd0_ref, feat) + dc + bd0_ref[:], 0.0)
+        ds_ref[0] = c(hd)
+        for i, (w_ref, b_ref) in enumerate(((wd1_ref, bd1_ref),
+                                            (wd2_ref, bd2_ref))):
+            hd = jnp.maximum(mm(w_ref, hd) + b_ref[:], 0.0)
+            ds_ref[i + 1] = c(hd)
+        rgb = mm(wrgb_ref, hd) + brgb_ref[:]
+        out_ref[:] = jnp.concatenate([rgb, sigma], axis=0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: every parameter gradient in one pass over the tiles.
+
+
+def _make_bwd_kernel(compute_dtype, s_tile: int, g_s: int):
+    f32 = jnp.float32
+    prec = _matmul_precision(compute_dtype)
+
+    def kernel(
+        dy_ref,       # (4, T) f32 cotangent [drgb | dsigma]
+        enc_ref, hs_ref, feat_ref, ds_ref,     # residuals
+        w0_ref, b0_ref,
+        wx1_ref, bx1_ref, wx2_ref, bx2_ref, wx3_ref, bx3_ref,
+        w4e_ref, w4h_ref, b4_ref,
+        wx5_ref, bx5_ref, wx6_ref, bx6_ref, wx7_ref, bx7_ref,
+        wfeat_ref, bfeat_ref, walpha_ref, balpha_ref,
+        wd0_ref, bd0_ref, wd1_ref, bd1_ref, wd2_ref, bd2_ref,
+        wrgb_ref, brgb_ref,
+        dwbig_ref,    # (8, 256, 256): x1,x2,x3,x5,x6,x7,w4h,wfeat (stored T)
+        dwenc_ref,    # (2, 256, dim_xyz): w0, w4e (grouped rows)
+        dwd_ref,      # (2, 128, 128): layers_dir[1], layers_dir[2]
+        dwd0_ref,     # (128, 256): feat half of layers_dir[0]
+        dwalpha_ref,  # (1, 256)
+        dwrgb_ref,    # (3, 128)
+        db256_ref,    # (9, 256): b0..b7, bfeat
+        db128_ref,    # (3, 128): bd0, bd1, bd2
+        ddc_ref,      # (128, R): grad of the per-ray dir contribution
+    ):
+        i = pl.program_id(0)
+        first = i == 0
+
+        def c(x):
+            return x.astype(compute_dtype)
+
+        def mm_t(w_ref, dy):
+            # w stored (out, in): dX (in, T) = W^T @ dY.
+            return jax.lax.dot_general(
+                c(w_ref[:]), c(dy), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )
+
+        def d_w(dy, x):
+            # dW stored-layout (out, in) = dY (out, T) @ X^T (T, in).
+            return jax.lax.dot_general(
+                c(dy), c(x), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )
+
+        def acc(ref, val):
+            @pl.when(first)
+            def _():
+                ref[...] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                ref[...] = ref[...] + val
+
+        t = _RAYS * s_tile
+        ones_row = jnp.ones((1, t), f32)
+
+        def rowsum(dy):
+            # Bias grad as an MXU contraction: (1,T) @ (out,T)^T -> (1,out)
+            # (a lane-axis jnp.sum would need a 1D->2D relayout). Same
+            # precision policy as the big matmuls: HIGHEST under f32 parity,
+            # fast default under bf16 (an always-HIGHEST variant cost ~20%
+            # whole-loop throughput — 42 extra MXU passes per grid step).
+            return jax.lax.dot_general(
+                ones_row, dy, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )
+
+        dy = dy_ref[:]
+        drgb, dsigma = dy[0:3], dy[3:4]
+        enc = enc_ref[:]
+        feat = feat_ref[:]
+        # ReLU masks compare in f32: Mosaic has no bf16 cmpf ("Target does
+        # not support this comparison"), so the compute-dtype residuals are
+        # widened at read. The matmul operands re-narrow via c() — lossless
+        # for values that started as compute-dtype.
+        d0, d1, d2 = (ds_ref[0].astype(f32), ds_ref[1].astype(f32),
+                      ds_ref[2].astype(f32))
+
+        # --- dir branch ----------------------------------------------------
+        dwrgb = d_w(drgb, d2)
+        dd2 = jnp.where(d2 > 0, mm_t(wrgb_ref, drgb), 0.0)
+        dwd2 = d_w(dd2, d1)
+        dd1 = jnp.where(d1 > 0, mm_t(wd2_ref, dd2), 0.0)
+        dwd1 = d_w(dd1, d0)
+        dd0 = jnp.where(d0 > 0, mm_t(wd1_ref, dd1), 0.0)
+        dwd0 = d_w(dd0, feat)
+        # Per-ray dir-contribution grad: sum dd0 over this tile's samples
+        # (lane j*R + r), accumulated over the ray tile's g_s sample chunks.
+        r = _RAYS
+        ddc = dd0[:, 0:r]
+        for j in range(1, s_tile):
+            ddc = ddc + dd0[:, j * r:(j + 1) * r]
+        first_chunk = (i % g_s) == 0
+
+        @pl.when(first_chunk)
+        def _():
+            ddc_ref[:] = ddc
+
+        @pl.when(jnp.logical_not(first_chunk))
+        def _():
+            ddc_ref[:] = ddc_ref[:] + ddc
+
+        # --- heads join at feat ---------------------------------------------
+        dwalpha = d_w(dsigma, feat)
+        dfeat = mm_t(wd0_ref, dd0) + mm_t(walpha_ref, dsigma)
+
+        # --- trunk -----------------------------------------------------------
+        h = [hs_ref[k].astype(f32) for k in range(8)]
+        dwfeat = d_w(dfeat, h[7])
+        dh = jnp.where(h[7] > 0, mm_t(wfeat_ref, dfeat), 0.0)
+
+        dwx = [None] * 6  # x1, x2, x3, x5, x6, x7 (stored layout)
+        db = [None] * 9   # b0..b7, bfeat — each a (1, 256) row
+        db[8] = rowsum(dfeat)
+        for k, w_ref in ((7, wx7_ref), (6, wx6_ref), (5, wx5_ref)):
+            db[k] = rowsum(dh)
+            dwx[k - 2] = d_w(dh, h[k - 1])
+            dh = jnp.where(h[k - 1] > 0, mm_t(w_ref, dh), 0.0)
+        # Skip layer 4: input [enc; h3]; no gradient flows to enc (pts are
+        # non-differentiable training data — module docstring).
+        db[4] = rowsum(dh)
+        dw4e = d_w(dh, enc)
+        dw4h = d_w(dh, h[3])
+        dh = jnp.where(h[3] > 0, mm_t(w4h_ref, dh), 0.0)
+        for k, w_ref in ((3, wx3_ref), (2, wx2_ref), (1, wx1_ref)):
+            db[k] = rowsum(dh)
+            dwx[k - 1] = d_w(dh, h[k - 1])
+            dh = jnp.where(h[k - 1] > 0, mm_t(w_ref, dh), 0.0)
+        db[0] = rowsum(dh)
+        dw0 = d_w(dh, enc)
+
+        acc(dwbig_ref, jnp.stack(dwx + [dw4h, dwfeat]))
+        acc(dwenc_ref, jnp.stack([dw0, dw4e]))
+        acc(dwd_ref, jnp.stack([dwd1, dwd2]))
+        acc(dwd0_ref, dwd0)
+        acc(dwalpha_ref, dwalpha)
+        acc(dwrgb_ref, dwrgb)
+        acc(db256_ref, jnp.concatenate(db, axis=0))
+        acc(db128_ref, jnp.concatenate(
+            [rowsum(dd0), rowsum(dd1), rowsum(dd2)], axis=0))
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing.
+
+
+def _layout(n: int, s: int, compute_dtype):
+    padded = -(-n // _RAYS) * _RAYS
+    s_t = _sample_tile_train(s, compute_dtype)
+    g_r = padded // _RAYS
+    g_s = s // s_t
+    t = _RAYS * s_t
+    return padded, s_t, g_r, g_s, t
+
+
+def _fwd_impl(cfg, params, pts, viewdirs):
+    num_freq_xyz, num_freq_dir, compute_dtype, interpret = cfg
+    from ...ops.encoding import positional_encoding
+
+    n, s = pts.shape[0], pts.shape[1]
+    padded, s_t, g_r, g_s, t = _layout(n, s, compute_dtype)
+    dim_xyz = 3 + 6 * num_freq_xyz
+    cdtype = jnp.dtype(compute_dtype)
+
+    wdir = jnp.asarray(params["layers_dir"][0]["kernel"])
+    direnc = positional_encoding(viewdirs, num_freq_dir)
+    dcontrib = jnp.dot(direnc, wdir[_WIDTH:],
+                       preferred_element_type=jnp.float32)
+    if padded != n:
+        pts = jnp.pad(pts, ((0, padded - n), (0, 0), (0, 0)))
+        dcontrib = jnp.pad(dcontrib, ((0, padded - n), (0, 0)))
+
+    weights = _prepare_weights_paper_t(params, cdtype, num_freq_xyz)
+    pts_t = _tile_lanes(pts, g_r, g_s, s_t).astype(jnp.float32)
+    dc_t = dcontrib.T.astype(jnp.float32)
+
+    lanes = g_r * g_s * t
+    in_specs = [
+        pl.BlockSpec((3, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_DIR_WIDTH, _RAYS), lambda i, _gs=g_s: (0, i // _gs),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((4, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((dim_xyz, lanes), cdtype),
+        jax.ShapeDtypeStruct((8, _WIDTH, lanes), cdtype),
+        jax.ShapeDtypeStruct((_WIDTH, lanes), cdtype),
+        jax.ShapeDtypeStruct((3, _DIR_WIDTH, lanes), cdtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((4, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim_xyz, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, _WIDTH, t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_WIDTH, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, _DIR_WIDTH, t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out, enc_r, hs_r, feat_r, ds_r = pl.pallas_call(
+        _make_fwd_kernel(cdtype, s_t, num_freq_xyz),
+        out_shape=out_shapes,
+        grid=(g_r * g_s,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(pts_t, dc_t, *weights)
+
+    rf = _untile_lanes(out, g_r, g_s, s_t)[:n]
+    residuals = (enc_r, hs_r, feat_r, ds_r, direnc, weights)
+    return rf, residuals
+
+
+def _bwd_impl(cfg, n, s, residuals, g):
+    num_freq_xyz, num_freq_dir, compute_dtype, interpret = cfg
+    enc_r, hs_r, feat_r, ds_r, direnc, weights = residuals
+    padded, s_t, g_r, g_s, t = _layout(n, s, compute_dtype)
+    dim_xyz = 3 + 6 * num_freq_xyz
+    cdtype = jnp.dtype(compute_dtype)
+
+    g = g.astype(jnp.float32)
+    if padded != n:
+        g = jnp.pad(g, ((0, padded - n), (0, 0), (0, 0)))
+    dy_t = _tile_lanes(g, g_r, g_s, s_t)
+
+    lanes = g_r * g_s * t
+    in_specs = [
+        pl.BlockSpec((4, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim_xyz, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, _WIDTH, t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_WIDTH, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, _DIR_WIDTH, t), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((8, _WIDTH, _WIDTH), f32),        # dwbig
+        jax.ShapeDtypeStruct((2, _WIDTH, dim_xyz), f32),       # dwenc
+        jax.ShapeDtypeStruct((2, _DIR_WIDTH, _DIR_WIDTH), f32),  # dwd
+        jax.ShapeDtypeStruct((_DIR_WIDTH, _WIDTH), f32),       # dwd0
+        jax.ShapeDtypeStruct((1, _WIDTH), f32),                # dwalpha
+        jax.ShapeDtypeStruct((3, _DIR_WIDTH), f32),            # dwrgb
+        jax.ShapeDtypeStruct((9, _WIDTH), f32),                # db256
+        jax.ShapeDtypeStruct((3, _DIR_WIDTH), f32),            # db128
+        jax.ShapeDtypeStruct((_DIR_WIDTH, padded), f32),       # ddc
+    ]
+
+    def whole(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    out_specs = [whole(sh.shape) for sh in out_shapes[:-1]] + [
+        pl.BlockSpec((_DIR_WIDTH, _RAYS), lambda i, _gs=g_s: (0, i // _gs),
+                     memory_space=pltpu.VMEM),
+    ]
+    (dwbig, dwenc, dwd, dwd0, dwalpha, dwrgb, db256, db128, ddc) = (
+        pl.pallas_call(
+            _make_bwd_kernel(cdtype, s_t, g_s),
+            out_shape=out_shapes,
+            grid=(g_r * g_s,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            interpret=interpret,
+        )(dy_t, enc_r, hs_r, feat_r, ds_r, *weights)
+    )
+
+    # Host-side assembly into the exact params pytree layout (kernels store
+    # (out, in); params store (in, out); encoded-row blocks un-regroup from
+    # [x|sin|cos] back to the reference's interleaved order).
+    dw_dir_rows = jnp.dot(direnc.T, ddc[:, :n].T,
+                          preferred_element_type=jnp.float32)  # (dim_dir, 128)
+    drgb_sum = jnp.sum(g[:, :, 0:3], axis=(0, 1))
+    dsigma_sum = jnp.sum(g[:, :, 3], axis=(0, 1))
+
+    def lx(kernel, bias):
+        return {"kernel": kernel, "bias": bias}
+
+    layers_xyz = [
+        lx(_unregroup_rows(dwenc[0].T, num_freq_xyz), db256[0]),
+        lx(dwbig[0].T, db256[1]),
+        lx(dwbig[1].T, db256[2]),
+        lx(dwbig[2].T, db256[3]),
+        lx(
+            jnp.concatenate(
+                [_unregroup_rows(dwenc[1].T, num_freq_xyz), dwbig[6].T], axis=0
+            ),
+            db256[4],
+        ),
+        lx(dwbig[3].T, db256[5]),
+        lx(dwbig[4].T, db256[6]),
+        lx(dwbig[5].T, db256[7]),
+    ]
+    layers_dir = [
+        lx(jnp.concatenate([dwd0.T, dw_dir_rows], axis=0), db128[0]),
+        lx(dwd[0].T, db128[1]),
+        lx(dwd[1].T, db128[2]),
+        # layers_dir[3] is dead in the reference forward (models.py:178-180).
+        lx(jnp.zeros((_DIR_WIDTH, _DIR_WIDTH), jnp.float32),
+           jnp.zeros((_DIR_WIDTH,), jnp.float32)),
+    ]
+    return {
+        "layers_xyz": layers_xyz,
+        "fc_feat": lx(dwbig[7].T, db256[8]),
+        "fc_alpha": lx(dwalpha.T, dsigma_sum.reshape(1)),
+        "layers_dir": layers_dir,
+        "fc_rgb": lx(dwrgb.T, drgb_sum),
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _paper_train(cfg, params, pts, viewdirs):
+    rf, _ = _fwd_impl(cfg, params, pts, viewdirs)
+    return rf
+
+
+def _paper_train_fwd(cfg, params, pts, viewdirs):
+    rf, residuals = _fwd_impl(cfg, params, pts, viewdirs)
+    return rf, residuals
+
+
+def _paper_train_bwd(cfg, residuals, g):
+    n, s = g.shape[0], g.shape[1]  # static at trace time
+    dparams = _bwd_impl(cfg, n, s, residuals, g)
+    # Zero by design: pts/viewdirs are non-differentiable training data
+    # (module docstring) — this function must not serve pose optimization.
+    return (
+        dparams,
+        jnp.zeros((n, s, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+    )
+
+
+_paper_train.defvjp(_paper_train_fwd, _paper_train_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_freq_xyz", "num_freq_dir", "interpret",
+                     "compute_dtype"),
+)
+def fused_paper_mlp_train(
+    params: Params,
+    pts: jnp.ndarray,        # (N, S, 3)
+    viewdirs: jnp.ndarray,   # (N, 3) per-ray
+    num_freq_xyz: int = 6,
+    num_freq_dir: int = 4,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Differentiable fused PaperNeRF evaluation for TRAINING.
+
+    Forward = the feature-major fused kernel (residuals saved); backward =
+    one Pallas kernel producing every parameter gradient. Returns
+    (N, S, 4) raw [r, g, b, sigma] float32. Gradients w.r.t. ``pts`` and
+    ``viewdirs`` are zero by design (training data; see module docstring).
+    """
+    cfg = (int(num_freq_xyz), int(num_freq_dir), str(compute_dtype),
+           bool(interpret))
+    return _paper_train(cfg, params, pts, viewdirs)

@@ -142,10 +142,13 @@ def test_tpu_knobs_map_from_config():
     cfg = get_default_config()
     cfg.nerf.train.remat = True
     cfg.nerf.train.use_pallas = True
+    cfg.nerf.train.use_pallas_train = True
     s = render_settings_from_config(cfg, "train")
     assert s.remat is True and s.use_pallas is True
+    assert s.use_pallas_train is True
     v = render_settings_from_config(cfg, "validation")
     assert v.remat is False and v.use_pallas is False
+    assert v.use_pallas_train is False
 
 
 def test_deprecated_key_registry():
@@ -339,6 +342,8 @@ def test_no_dead_config_keys():
         }
     consumed.add("nerf.train.num_random_rays")
     consumed.add("nerf.train.ray_sampling")  # -> train_nerf.py sample_mode
+    # -> render_settings_from_config -> renderer._eval_radiance_field
+    consumed.add("nerf.train.use_pallas_train")
 
     def leaves(node, prefix=""):
         out = set()

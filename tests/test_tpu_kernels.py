@@ -179,3 +179,143 @@ def test_full_pallas_image_path_on_chip(tpu_backend):
     # floor"); 48 leaves 5 dB for compiler-version drift while still
     # catching any real Mosaic regression (tens-of-dB drops).
     assert psnr(a, b) > 48.0, f"pallas vs xla image PSNR {psnr(a, b):.1f} dB"
+
+
+def test_paper_train_grads_match_xla_on_chip(tpu_backend):
+    """The ADOPTED width-256 custom-VJP training kernels (fwd + full
+    parameter backward), Mosaic-compiled. Two checks:
+
+    1. SELF-CONSISTENCY (tight): central finite differences of the fused
+       forward agree with the custom-VJP gradient along random parameter
+       directions — the kernel's backward is the true gradient of the
+       kernel's own forward, on hardware.
+    2. XLA cross-check (calibrated): leaf-wise agreement with XLA autodiff
+       of the direct-sinusoid forward. The fused path encodes via the
+       double-angle recurrence, whose documented f32 phase floor shifts a
+       handful of near-boundary ReLU masks per layer; over this 12.8k-point
+       batch the on-chip per-leaf stats (r5) read worst max = 3.2e-2 and
+       worst KERNEL-leaf q99 = 1.1e-2, with contamination concentrated in
+       the small bias leaves (each bias element sums ONE unit's
+       contributions over all points, so a flipped mask moves it whole —
+       layers_dir[0].bias q99 = 2.7e-2 is its 2nd-worst element, a
+       near-max reading, not mass). The mass criterion therefore applies
+       only to leaves big enough that a 99th percentile measures mass
+       (kernels); biases are bounded by the max criterion. Interpret-mode
+       parity (tests/test_pallas_paper_train.py) and the 4-step full-step
+       trajectory below bound the practical effect."""
+    from nerf_tpu.engine.renderer import RenderSettings, encode_points
+    from nerf_tpu.models import PaperNeRFModel
+    from nerf_tpu.ops.pallas.paper_train import fused_paper_mlp_train
+
+    model = PaperNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    n, s = 200, 64  # ragged: zero-padded cotangent rays on hardware
+    pts = jax.random.uniform(key, (n, s, 3), minval=-1.3, maxval=1.3)
+    vd = jax.random.normal(key, (n, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (n, s, 4))
+
+    def loss_fused(p):
+        return jnp.sum(fused_paper_mlp_train(p, pts, vd, num_freq_xyz=10)
+                       * cot)
+
+    g_fused = jax.jit(jax.grad(loss_fused))(params)
+
+    # 1. Directional-derivative self-consistency of the custom VJP, on a
+    # SMALL batch: central differences of a ReLU network carry a kink
+    # error proportional to the number of units crossing zero within ±eps,
+    # so the 12.8k-point batch above reads ~0.6% off for ANY correct
+    # gradient; ~500 points bring the FD truncation under the tolerance.
+    n_fd, s_fd = 129, 4  # still 2 ray tiles + padding on hardware
+    pts_fd = jax.random.uniform(jax.random.PRNGKey(11), (n_fd, s_fd, 3),
+                                minval=-1.3, maxval=1.3)
+    vd_fd = jax.random.normal(jax.random.PRNGKey(12), (n_fd, 3))
+    vd_fd = vd_fd / jnp.linalg.norm(vd_fd, axis=-1, keepdims=True)
+    cot_fd = jax.random.normal(jax.random.PRNGKey(13), (n_fd, s_fd, 4))
+
+    def loss_fd(p):
+        return jnp.sum(
+            fused_paper_mlp_train(p, pts_fd, vd_fd, num_freq_xyz=10) * cot_fd
+        )
+
+    loss_jit = jax.jit(loss_fd)
+    g_fd = jax.jit(jax.grad(loss_fd))(params)
+    for seed in (7, 8):
+        direction = jax.tree.map(
+            lambda x, k=jax.random.PRNGKey(seed): jax.random.normal(
+                jax.random.fold_in(k, hash(x.shape) % (2**31)), x.shape
+            ) / np.sqrt(x.size),
+            params,
+        )
+        eps = 1e-3
+        plus = jax.tree.map(lambda x, d: x + eps * d, params, direction)
+        minus = jax.tree.map(lambda x, d: x - eps * d, params, direction)
+        fd = (float(loss_jit(plus)) - float(loss_jit(minus))) / (2 * eps)
+        analytic = float(
+            sum(jnp.vdot(a, b) for a, b in
+                zip(jax.tree.leaves(g_fd), jax.tree.leaves(direction)))
+        )
+        np.testing.assert_allclose(fd, analytic,
+                                   rtol=3e-3, atol=3e-3 * abs(analytic))
+
+    # 2. Calibrated XLA cross-check (see docstring for the floor analysis).
+    st = RenderSettings(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    with jax.default_matmul_precision("highest"):
+        g_xla = jax.jit(jax.grad(
+            lambda p: jnp.sum(model.apply(p, encode_points(pts, vd, st))
+                              * cot)
+        ))(params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_xla)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        d = np.abs(a - b) / scale
+        assert d.max() < 5e-2, f"worst normalized diff {d.max():.4f}"
+        if d.size >= 1000:
+            # Mass criterion only where a 99th percentile measures mass
+            # (kernel leaves): on a 128-element bias q99 is the 2nd-worst
+            # element — a near-max reading the 5e-2 bound already covers.
+            assert np.quantile(d, 0.99) < 2e-2, (
+                f"99th-percentile normalized diff {np.quantile(d, 0.99):.4f}"
+            )
+
+
+def test_paper_train_full_step_on_chip(tpu_backend):
+    """One real optimization step through the production train loss with
+    use_pallas_train: the loss decreases and matches the XLA path's
+    trajectory closely over a few steps (f32)."""
+    import optax
+
+    from nerf_tpu.engine.renderer import RenderSettings
+    from nerf_tpu.engine.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from nerf_tpu.models import PaperNeRFModel
+
+    model = PaperNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
+    opt = optax.adam(5e-4)
+    batch = 256
+    key = jax.random.PRNGKey(3)
+    ro = jax.random.uniform(key, (batch, 3), minval=-1, maxval=1)
+    rd = ro - jnp.asarray([0.0, 0.0, 1.5])
+    tgt = jax.random.uniform(key, (batch, 3))
+
+    losses = {}
+    for use_kernel in (False, True):
+        settings = RenderSettings(
+            num_coarse=16, num_fine=16, perturb=True,
+            radiance_field_noise_std=0.0, near=2.0, far=6.0,
+            num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+            use_pallas_train=use_kernel,
+        )
+        state = create_train_state(model, model, opt, jax.random.PRNGKey(0))
+        step = make_train_step(model, model, settings, opt)
+        trace = []
+        for i in range(4):
+            state, m = step(state, ro, rd, tgt, jax.random.PRNGKey(10 + i))
+            trace.append(float(m.loss))
+        losses[use_kernel] = trace
+    assert losses[True][-1] < losses[True][0]  # it optimizes
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=2e-3, atol=2e-5)
