@@ -133,9 +133,26 @@ def test_reference_llff_generic_config_loads():
 def test_own_config_variants_load():
     for path in ["configs/llff.yml", "configs/tiny.yml", "configs/lego.yml",
                  "configs/fern.yml", "configs/lego_lowres.yml",
-                 "configs/synthetic_smoke.yml"]:
+                 "configs/synthetic_smoke.yml", "configs/lego_paper.yml"]:
         cfg = load_config(path)
         render_settings_from_config(cfg, "validation", hwf=(100, 100, 50.0))
+
+
+def test_lego_paper_config_selects_training_kernels():
+    """The shipped PaperNeRF config turns on the family's production TPU
+    path: bf16 compute + the fused custom-VJP training kernels (train
+    mode only — validation renders stay on the render path)."""
+    from nerf_tpu.config.schema import model_from_config
+
+    cfg = load_config("configs/lego_paper.yml")
+    model = model_from_config(cfg.models.coarse)
+    assert type(model).__name__ == "PaperNeRFModel"
+    assert model.num_encoding_fn_xyz == 10
+    s = render_settings_from_config(cfg, "train")
+    assert s.use_pallas_train is True
+    assert s.compute_dtype == "bfloat16"
+    v = render_settings_from_config(cfg, "validation")
+    assert v.use_pallas_train is False
 
 
 def test_tpu_knobs_map_from_config():

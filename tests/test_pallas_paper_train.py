@@ -140,3 +140,60 @@ def test_wider_encoding_grads(paper):
         # floor (error doubles per octave — ops/pallas/mlp_t.py), which the
         # encoding-row gradients see directly.
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-4)
+
+
+def test_renderer_dispatches_training_kernels(paper, monkeypatch):
+    """use_pallas_train=True routes radiance-field eval (and its VJP)
+    through fused_paper_mlp_train inside the production training loss, and
+    the resulting gradients match the XLA path (interpret kernels are
+    bit-faithful). A non-Paper model falls back silently."""
+    import nerf_tpu.ops.pallas.paper_train as pt_mod
+    from nerf_tpu.engine.train import make_loss_fn
+    from nerf_tpu.models import FlexibleNeRFModel
+
+    model, params = paper
+    calls = {"n": 0}
+    real = pt_mod.fused_paper_mlp_train
+
+    def spy(*args, **kwargs):
+        calls["n"] += 1
+        kwargs["interpret"] = True  # CPU backend in tests
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pt_mod, "fused_paper_mlp_train", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    key = jax.random.PRNGKey(6)
+    ro = jax.random.uniform(key, (16, 3), minval=-1, maxval=1)
+    rd = ro - jnp.array([0.0, 0.0, 2.0])
+    tgt = jax.random.uniform(key, (16, 3))
+    kw = dict(
+        num_coarse=8, num_fine=8, perturb=False, radiance_field_noise_std=0.0,
+        near=2.0, far=6.0, num_encoding_fn_xyz=6, num_encoding_fn_dir=4,
+    )
+    trainable = {"coarse": params, "fine": params}
+
+    loss_k = make_loss_fn(model, model,
+                          RenderSettings(use_pallas_train=True, **kw))
+    (lk, _), gk = jax.value_and_grad(loss_k, has_aux=True)(
+        trainable, ro, rd, tgt, jax.random.PRNGKey(7))
+    assert calls["n"] == 2  # coarse + fine
+
+    loss_x = make_loss_fn(model, model, RenderSettings(**kw))
+    (lx, _), gx = jax.value_and_grad(loss_x, has_aux=True)(
+        trainable, ro, rd, tgt, jax.random.PRNGKey(7))
+    assert calls["n"] == 2  # XLA path never touches the kernel
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5)
+
+    # Unsupported family: silent XLA fallback, no dispatch.
+    flex = FlexibleNeRFModel(num_encoding_fn_xyz=6, num_encoding_fn_dir=4)
+    fparams = flex.init(jax.random.PRNGKey(8))
+    loss_f = make_loss_fn(flex, flex,
+                          RenderSettings(use_pallas_train=True, **kw))
+    loss_f({"coarse": fparams, "fine": fparams}, ro, rd, tgt,
+           jax.random.PRNGKey(9))
+    assert calls["n"] == 2
