@@ -557,6 +557,29 @@ def _stage_render_800_paper_sustained(r: dict) -> None:
     r["render_sec_per_frame_800px_paper_sustained"] = round(800 * 800 / rps, 3)
 
 
+def _stage_train_pallas_bf16(r: dict) -> None:
+    """The ADOPTED width-128 custom-VJP training kernels in the production
+    scan loop (ops/pallas/flex_train.py) — the FLAGSHIP family's fused
+    fwd+bwd. Isolation measurement: 2.04x over XLA autodiff at the fine
+    pass's (1024, 128) shape, 1.18x at (1024, 64); production-loop probe
+    1.92x end-to-end (docs/PARITY.md width-128 custom-VJP row). Gated on
+    the SAME numerics guard as every Pallas stage: a failed or missing
+    guard records the XLA path under a *_degraded_xla key instead."""
+    use_pallas = _use_pallas_path(r)
+    rps = bench_train(compute_dtype="bfloat16", use_pallas_train=use_pallas)
+    key = "train_pallas_rays_per_sec_bf16" if use_pallas else \
+        "train_pallas_rays_per_sec_bf16_degraded_xla"
+    r[key] = round(rps, 1)
+    if use_pallas:
+        tflops = rps * TRAIN_FLOPS_PER_RAY / 1e12
+        r["train_pallas_tflops_bf16"] = round(tflops, 1)
+        r["mfu_pct_pallas_bf16"] = round(100.0 * tflops / PEAK_BF16_TFLOPS, 1)
+        if "train_rays_per_sec_bf16" in r:
+            r["train_pallas_speedup"] = round(
+                rps / r["train_rays_per_sec_bf16"], 2
+            )
+
+
 def _stage_train_paper_bf16(r: dict) -> None:
     """8x256 PaperNeRF training on the lego protocol (XLA path, bf16): the
     one shape where the MXU pays (width microbench: 78% peak at 256 vs 56%
@@ -607,6 +630,9 @@ HEADLINE_STAGES = [
     ("train_f32", 90, _stage_train_f32),
     ("train_bf16", 75, _stage_train_bf16),
     ("pallas_guard", 100, _stage_guard),          # 2 small compiles
+    # Guard-gated, and reads train_bf16's number for its speedup — both
+    # stages above are ordering prerequisites.
+    ("train_pallas_bf16", 80, _stage_train_pallas_bf16),
     ("render_800_sustained", 90, _stage_render_800_sustained),
 ]
 EXTRA_STAGES = [

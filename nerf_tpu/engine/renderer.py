@@ -92,10 +92,14 @@ class RenderSettings:
     # supports_fused) and PaperNeRF 8x256 (ops/pallas/paper_t.py,
     # supports_fused_paper); other shapes fall back to XLA.
     use_pallas: bool = False
-    # Use the fused Pallas TRAINING kernels (custom-VJP forward+backward,
-    # ops/pallas/paper_train.py) for radiance-field evaluation. PaperNeRF
-    # 8x256 only; measured 1.34x (64 samples) / 1.75x (128) over XLA
-    # fwd+bwd on a v5e (docs/PARITY.md width-256 custom-VJP row).
+    # Use the fused Pallas TRAINING kernels (custom-VJP forward+backward)
+    # for radiance-field evaluation. Fused families: default-shape
+    # FlexibleNeRF 4x128 (ops/pallas/flex_train.py; XLA fwd+bwd collapses
+    # to 39.8 TFLOP/s at the fine pass's (1024, 128) shape while the fused
+    # forward holds 68 — docs/PARITY.md width-128 custom-VJP row) and
+    # PaperNeRF 8x256 (ops/pallas/paper_train.py; measured 1.34x/1.75x
+    # over XLA fwd+bwd on a v5e — width-256 row). Other shapes fall back
+    # to XLA.
     # TRAINING-ONLY CONTRACT: gradients w.r.t. points/viewdirs are zero by
     # design (rays are data; fine z-samples are detached) — never enable
     # for pose/camera optimization.
@@ -203,11 +207,22 @@ def _eval_radiance_field(model, params, pts, viewdirs, s: RenderSettings):
     if (s.use_pallas_train and viewdirs is not None and s.log_sampling_xyz
             and s.log_sampling_dir and s.pe_alpha_xyz < 0.0
             and jax.default_backend() == "tpu"):
+        from ..ops.pallas.flex_train import (
+            fused_flex_mlp_train,
+            supports_fused_flex_train,
+        )
         from ..ops.pallas.paper_train import (
             fused_paper_mlp_train,
             supports_fused_paper_train,
         )
 
+        if supports_fused_flex_train(model, params) and pts.ndim == 3:
+            return fused_flex_mlp_train(
+                params, pts, viewdirs,
+                num_freq_xyz=model.num_encoding_fn_xyz,
+                num_freq_dir=model.num_encoding_fn_dir,
+                compute_dtype=s.compute_dtype,
+            )
         if supports_fused_paper_train(model, params) and pts.ndim == 3:
             return fused_paper_mlp_train(
                 params, pts, viewdirs,

@@ -380,8 +380,13 @@ def _fwd_impl(cfg, params, pts, viewdirs):
 
     wdir = jnp.asarray(params["layers_dir"][0]["kernel"])
     direnc = positional_encoding(viewdirs, num_freq_dir)
+    # Same precision policy as the kernels: HIGHEST under f32 parity (at
+    # the TPU default bf16 pass, sub-ulp parameter perturbations vanish —
+    # the f32 path's FD self-consistency depends on this; found on-chip in
+    # the flex_train sibling, ops/pallas/flex_train.py).
     dcontrib = jnp.dot(direnc, wdir[_WIDTH:],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=_matmul_precision(compute_dtype))
     if padded != n:
         pts = jnp.pad(pts, ((0, padded - n), (0, 0), (0, 0)))
         dcontrib = jnp.pad(dcontrib, ((0, padded - n), (0, 0)))
@@ -493,7 +498,9 @@ def _bwd_impl(cfg, n, s, residuals, g):
     # (out, in); params store (in, out); encoded-row blocks un-regroup from
     # [x|sin|cos] back to the reference's interleaved order).
     dw_dir_rows = jnp.dot(direnc.T, ddc[:, :n].T,
-                          preferred_element_type=jnp.float32)  # (dim_dir, 128)
+                          preferred_element_type=jnp.float32,
+                          precision=_matmul_precision(compute_dtype),
+                          )  # (dim_dir, 128)
     drgb_sum = jnp.sum(g[:, :, 0:3], axis=(0, 1))
     dsigma_sum = jnp.sum(g[:, :, 3], axis=(0, 1))
 

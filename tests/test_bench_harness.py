@@ -223,6 +223,39 @@ def test_soft_watchdog_interrupts_python_level_stall(monkeypatch, capsys):
     assert _last_json(capsys)["value"] == 1.0
 
 
+def test_train_pallas_stage_is_guard_gated(monkeypatch):
+    """The FLAGSHIP fused-training-kernel stage (width-128 custom-VJP,
+    ops/pallas/flex_train.py) obeys the same numerics gate as its Paper
+    sibling below: healthy guard -> kernel path + speedup/MFU keys; failed
+    or missing guard -> XLA path recorded under the _degraded_xla key."""
+    captured = {}
+
+    def fake_train(batch=1024, steps_per_call=50, calls=4,
+                   compute_dtype="float32", family="flexible",
+                   use_pallas_train=False):
+        captured["use_pallas_train"] = use_pallas_train
+        captured["family"] = family
+        return 800_000.0
+
+    monkeypatch.setattr(bench, "bench_train", fake_train)
+
+    r = {"pallas_numerics_ok": True, "train_rays_per_sec_bf16": 400_000.0}
+    bench._stage_train_pallas_bf16(r)
+    assert captured["use_pallas_train"] is True
+    assert captured["family"] == "flexible"
+    assert r["train_pallas_rays_per_sec_bf16"] == 800_000.0
+    assert r["train_pallas_speedup"] == 2.0
+    assert "train_pallas_tflops_bf16" in r
+    assert "mfu_pct_pallas_bf16" in r
+
+    for bad in ({"pallas_numerics_ok": False}, {}):  # failed / never ran
+        bench._stage_train_pallas_bf16(bad)
+        assert captured["use_pallas_train"] is False
+        assert "train_pallas_rays_per_sec_bf16_degraded_xla" in bad
+        assert "train_pallas_rays_per_sec_bf16" not in bad
+        assert "train_pallas_speedup" not in bad
+
+
 def test_train_paper_pallas_stage_is_guard_gated(monkeypatch):
     """The fused-training-kernel stage obeys the same numerics gate as the
     render stages: healthy guard -> kernel path + speedup/MFU keys; failed

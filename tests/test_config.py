@@ -133,9 +133,27 @@ def test_reference_llff_generic_config_loads():
 def test_own_config_variants_load():
     for path in ["configs/llff.yml", "configs/tiny.yml", "configs/lego.yml",
                  "configs/fern.yml", "configs/lego_lowres.yml",
-                 "configs/synthetic_smoke.yml", "configs/lego_paper.yml"]:
+                 "configs/synthetic_smoke.yml", "configs/lego_paper.yml",
+                 "configs/lego_fused.yml"]:
         cfg = load_config(path)
         render_settings_from_config(cfg, "validation", hwf=(100, 100, 50.0))
+
+
+def test_lego_fused_config_selects_training_kernels():
+    """The shipped flagship-fused config turns on the 4x128 family's
+    production TPU path: bf16 + the flex_train custom-VJP kernels (train
+    mode only), on the same scene/protocol as lego_lowres."""
+    from nerf_tpu.config.schema import model_from_config
+
+    cfg = load_config("configs/lego_fused.yml")
+    model = model_from_config(cfg.models.coarse)
+    assert type(model).__name__ == "FlexibleNeRFModel"
+    assert model.hidden_size == 128 and model.num_layers == 4
+    s = render_settings_from_config(cfg, "train")
+    assert s.use_pallas_train is True
+    assert s.compute_dtype == "bfloat16"
+    v = render_settings_from_config(cfg, "validation")
+    assert v.use_pallas_train is False
 
 
 def test_lego_paper_config_selects_training_kernels():
