@@ -146,12 +146,16 @@ def bench_train(batch: int = 1024, steps_per_call: int = 50, calls: int = 4,
 
 
 def bench_multiscene(num_scenes: int = 6, batch: int = 1024,
-                     steps_per_call: int = 50, calls: int = 3) -> float:
+                     steps_per_call: int = 50, calls: int = 3,
+                     use_pallas_train: bool = False) -> float:
     """Aggregate training throughput with N scenes vmapped into one XLA
     program (train_multiscene.py's hot path, BASELINE.json config 5) —
     the batching the reference cannot express (one process per scene).
     Protocol matches the 6-scene production sweep: lego-lowres sampling,
-    bfloat16 compute."""
+    bfloat16 compute. use_pallas_train routes every scene's fwd+bwd
+    through the fused custom-VJP kernels (the scene vmap becomes a leading
+    grid dimension via JAX's pallas batching rule — trajectory-parity
+    tested in tests/test_pallas_flex_train.py)."""
     from nerf_tpu.engine.renderer import RenderSettings
     from nerf_tpu.engine.train import make_optimizer
     from nerf_tpu.models import FlexibleNeRFModel
@@ -164,7 +168,7 @@ def bench_multiscene(num_scenes: int = 6, batch: int = 1024,
         num_coarse=64, num_fine=64, perturb=True,
         radiance_field_noise_std=0.2, white_background=True,
         near=2.0, far=6.0, num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", use_pallas_train=use_pallas_train,
     )
     model = FlexibleNeRFModel(num_encoding_fn_xyz=10, num_encoding_fn_dir=4)
     opt = make_optimizer("adam", 5e-3, 250.0, 0.1)
@@ -538,6 +542,20 @@ def _stage_multiscene(r: dict) -> None:
     r["multiscene6_train_rays_per_sec_bf16"] = round(bench_multiscene(), 1)
 
 
+def _stage_multiscene_pallas(r: dict) -> None:
+    """The 6-scene vmapped step through the fused custom-VJP kernels (scene
+    axis = leading grid dimension). Guard-gated like every Pallas stage."""
+    use_pallas = _use_pallas_path(r)
+    rps = bench_multiscene(use_pallas_train=use_pallas)
+    key = "multiscene6_pallas_train_rays_per_sec_bf16" if use_pallas else \
+        "multiscene6_pallas_train_rays_per_sec_bf16_degraded_xla"
+    r[key] = round(rps, 1)
+    if use_pallas and "multiscene6_train_rays_per_sec_bf16" in r:
+        r["multiscene6_pallas_speedup"] = round(
+            rps / r["multiscene6_train_rays_per_sec_bf16"], 2
+        )
+
+
 def _stage_render_800_paper(r: dict) -> None:
     """The second fused family: 8x256 PaperNeRF through its Pallas kernel
     (falls to XLA if the guard failed, like every render stage)."""
@@ -566,7 +584,8 @@ def _stage_train_pallas_bf16(r: dict) -> None:
     the SAME numerics guard as every Pallas stage: a failed or missing
     guard records the XLA path under a *_degraded_xla key instead."""
     use_pallas = _use_pallas_path(r)
-    rps = bench_train(compute_dtype="bfloat16", use_pallas_train=use_pallas)
+    rps = bench_train(compute_dtype="bfloat16", family="flexible",
+                      use_pallas_train=use_pallas)
     key = "train_pallas_rays_per_sec_bf16" if use_pallas else \
         "train_pallas_rays_per_sec_bf16_degraded_xla"
     r[key] = round(rps, 1)
@@ -649,6 +668,7 @@ EXTRA_STAGES = [
     ("render_800", 70, _stage_render_800),
     ("render_800_xla", 80, _stage_render_800_xla),
     ("multiscene6", 110, _stage_multiscene),
+    ("multiscene6_pallas", 110, _stage_multiscene_pallas),
 ]
 STAGES = HEADLINE_STAGES + EXTRA_STAGES
 

@@ -52,13 +52,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mlp import _HIDDEN, supports_fused
-from .paper_train import (
-    _matmul_precision,
-    _tile_lanes,
-    _unregroup_rows,
-    _untile_lanes,
-)
 from .paper_t import _RAYS, _split_rows
+from .train_vjp import (
+    TrainKernelFamily,
+    _sample_tile,
+    build_train_vjp,
+    matmul_precision as _matmul_precision,
+    unregroup_rows as _unregroup_rows,
+)
 
 Params = Dict[str, Any]
 
@@ -74,17 +75,7 @@ supports_fused_flex_train = supports_fused
 
 
 def _sample_tile_train(s: int, compute_dtype="bfloat16") -> int:
-    max_tile = (
-        _MAX_TILE_TRAIN_F32
-        if jnp.dtype(compute_dtype) == jnp.float32
-        else _MAX_TILE_TRAIN_BF16
-    )
-    cap = max(1, max_tile // _RAYS)
-    best = 1
-    for d in range(1, min(s, cap) + 1):
-        if s % d == 0:
-            best = d
-    return best
+    return _sample_tile(_FAMILY, s, compute_dtype)
 
 
 def _prepare_weights_flex_train(params: Params, compute_dtype, num_freq_xyz):
@@ -311,152 +302,36 @@ def _make_bwd_kernel(compute_dtype, s_tile: int, g_s: int):
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp plumbing.
+# Family spec + custom_vjp plumbing (shared builder: ops/pallas/train_vjp.py
+# owns the tile layout, padding, BlockSpecs, host-side dir split and its
+# precision policy, and the defvjp wiring).
 
 
-def _layout(n: int, s: int, compute_dtype):
-    padded = -(-n // _RAYS) * _RAYS
-    s_t = _sample_tile_train(s, compute_dtype)
-    g_r = padded // _RAYS
-    g_s = s // s_t
-    t = _RAYS * s_t
-    return padded, s_t, g_r, g_s, t
+def _residual_dims(dim_xyz):
+    # Forward-kernel residual outputs, in signature order: enc, a0, hs
+    # (3 trunk activations), feat, hd. Lane axis appended by the builder.
+    return ((dim_xyz,), (_HIDDEN,), (3, _HIDDEN), (_HIDDEN,), (_DIR_HIDDEN,))
 
 
-def _fwd_impl(cfg, params, pts, viewdirs):
-    num_freq_xyz, num_freq_dir, compute_dtype, interpret = cfg
-    from ...ops.encoding import positional_encoding
-
-    n, s = pts.shape[0], pts.shape[1]
-    padded, s_t, g_r, g_s, t = _layout(n, s, compute_dtype)
-    dim_xyz = 3 + 6 * num_freq_xyz
-    cdtype = jnp.dtype(compute_dtype)
-
-    wdir = jnp.asarray(params["layers_dir"][0]["kernel"])
-    direnc = positional_encoding(viewdirs, num_freq_dir)
-    # The host-side dir contribution follows the kernels' precision policy:
-    # HIGHEST under f32 parity. At the TPU default (bf16 pass) a small
-    # parameter perturbation is below one bf16 ulp, so the f32 path's
-    # forward stops being differentiable-in-practice w.r.t. these rows
-    # (observed on-chip: FD along the dir rows reads quantization noise).
-    dcontrib = jnp.dot(direnc, wdir[_HIDDEN:],
-                       preferred_element_type=jnp.float32,
-                       precision=_matmul_precision(compute_dtype))
-    if padded != n:
-        pts = jnp.pad(pts, ((0, padded - n), (0, 0), (0, 0)))
-        dcontrib = jnp.pad(dcontrib, ((0, padded - n), (0, 0)))
-
-    weights = _prepare_weights_flex_train(params, cdtype, num_freq_xyz)
-    pts_t = _tile_lanes(pts, g_r, g_s, s_t).astype(jnp.float32)
-    dc_t = dcontrib.T.astype(jnp.float32)
-
-    lanes = g_r * g_s * t
-    in_specs = [
-        pl.BlockSpec((3, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_DIR_HIDDEN, _RAYS), lambda i, _gs=g_s: (0, i // _gs),
-                     memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                     memory_space=pltpu.VMEM)
-        for w in weights
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct((4, lanes), jnp.float32),
-        jax.ShapeDtypeStruct((dim_xyz, lanes), cdtype),
-        jax.ShapeDtypeStruct((_HIDDEN, lanes), cdtype),
-        jax.ShapeDtypeStruct((3, _HIDDEN, lanes), cdtype),
-        jax.ShapeDtypeStruct((_HIDDEN, lanes), cdtype),
-        jax.ShapeDtypeStruct((_DIR_HIDDEN, lanes), cdtype),
-    ]
-    out_specs = [
-        pl.BlockSpec((4, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((dim_xyz, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HIDDEN, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, _HIDDEN, t), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HIDDEN, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_DIR_HIDDEN, t), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-    ]
-    out, enc_r, a0_r, hs_r, feat_r, hd_r = pl.pallas_call(
-        _make_fwd_kernel(cdtype, s_t, num_freq_xyz),
-        out_shape=out_shapes,
-        grid=(g_r * g_s,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-    )(pts_t, dc_t, *weights)
-
-    rf = _untile_lanes(out, g_r, g_s, s_t)[:n]
-    residuals = (enc_r, a0_r, hs_r, feat_r, hd_r, direnc, weights)
-    return rf, residuals
+def _grad_dims(dim_xyz):
+    # Backward-kernel accumulator outputs, in signature order (ddc is
+    # appended by the builder): dwx, dw1, dwfa, dwdf, dwrgb, db128, db64.
+    return (
+        (3, _HIDDEN, _HIDDEN),
+        (_HIDDEN, dim_xyz),
+        (_HIDDEN + 1, _HIDDEN),
+        (_DIR_HIDDEN, _HIDDEN),
+        (3, _DIR_HIDDEN),
+        (5, _HIDDEN),
+        (1, _DIR_HIDDEN),
+    )
 
 
-def _bwd_impl(cfg, n, s, residuals, g):
-    num_freq_xyz, num_freq_dir, compute_dtype, interpret = cfg
-    enc_r, a0_r, hs_r, feat_r, hd_r, direnc, weights = residuals
-    padded, s_t, g_r, g_s, t = _layout(n, s, compute_dtype)
-    dim_xyz = 3 + 6 * num_freq_xyz
-    cdtype = jnp.dtype(compute_dtype)
-
-    g = g.astype(jnp.float32)
-    if padded != n:
-        g = jnp.pad(g, ((0, padded - n), (0, 0), (0, 0)))
-    dy_t = _tile_lanes(g, g_r, g_s, s_t)
-
-    in_specs = [
-        pl.BlockSpec((4, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((dim_xyz, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HIDDEN, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, _HIDDEN, t), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HIDDEN, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_DIR_HIDDEN, t), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                     memory_space=pltpu.VMEM)
-        for w in weights
-    ]
-    f32 = jnp.float32
-    out_shapes = [
-        jax.ShapeDtypeStruct((3, _HIDDEN, _HIDDEN), f32),      # dwx
-        jax.ShapeDtypeStruct((_HIDDEN, dim_xyz), f32),         # dw1
-        jax.ShapeDtypeStruct((_HIDDEN + 1, _HIDDEN), f32),     # dwfa
-        jax.ShapeDtypeStruct((_DIR_HIDDEN, _HIDDEN), f32),     # dwdf
-        jax.ShapeDtypeStruct((3, _DIR_HIDDEN), f32),           # dwrgb
-        jax.ShapeDtypeStruct((5, _HIDDEN), f32),               # db128
-        jax.ShapeDtypeStruct((1, _DIR_HIDDEN), f32),           # db64
-        jax.ShapeDtypeStruct((_DIR_HIDDEN, padded), f32),      # ddc
-    ]
-
-    def whole(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
-                            memory_space=pltpu.VMEM)
-
-    out_specs = [whole(sh.shape) for sh in out_shapes[:-1]] + [
-        pl.BlockSpec((_DIR_HIDDEN, _RAYS), lambda i, _gs=g_s: (0, i // _gs),
-                     memory_space=pltpu.VMEM),
-    ]
-    dwx, dw1, dwfa, dwdf, dwrgb, db128, db64, ddc = pl.pallas_call(
-        _make_bwd_kernel(cdtype, s_t, g_s),
-        out_shape=out_shapes,
-        grid=(g_r * g_s,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-    )(dy_t, enc_r, a0_r, hs_r, feat_r, hd_r, *weights)
-
-    # Host-side assembly into the exact params pytree layout (kernels store
-    # (out, in); params store (in, out); layer1's encoded rows un-regroup
-    # from [x|sin|cos] back to the reference's interleaved order).
-    dw_dir_rows = jnp.dot(direnc.T, ddc[:, :n].T,
-                          preferred_element_type=jnp.float32,
-                          precision=_matmul_precision(compute_dtype),
-                          )  # (dim_dir, 64)
-    drgb_sum = jnp.sum(g[:, :, 0:3], axis=(0, 1))
-    dsigma_sum = jnp.sum(g[:, :, 3], axis=(0, 1))
+def _assemble_grads(outs, dw_dir_rows, drgb_sum, dsigma_sum, num_freq_xyz):
+    """Kernel accumulators -> the exact params pytree layout (kernels store
+    (out, in); params store (in, out); layer1's encoded rows un-regroup
+    from [x|sin|cos] back to the reference's interleaved order)."""
+    dwx, dw1, dwfa, dwdf, dwrgb, db128, db64 = outs
 
     def lx(kernel, bias):
         return {"kernel": kernel, "bias": bias}
@@ -477,30 +352,20 @@ def _bwd_impl(cfg, n, s, residuals, g):
     }
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flex_train(cfg, params, pts, viewdirs):
-    rf, _ = _fwd_impl(cfg, params, pts, viewdirs)
-    return rf
+_FAMILY = TrainKernelFamily(
+    dir_width=_DIR_HIDDEN,
+    wdir_split_row=_HIDDEN,
+    max_tile_bf16=_MAX_TILE_TRAIN_BF16,
+    max_tile_f32=_MAX_TILE_TRAIN_F32,
+    prepare_weights=_prepare_weights_flex_train,
+    make_fwd_kernel=_make_fwd_kernel,
+    make_bwd_kernel=_make_bwd_kernel,
+    residual_dims=_residual_dims,
+    grad_dims=_grad_dims,
+    assemble_grads=_assemble_grads,
+)
 
-
-def _flex_train_fwd(cfg, params, pts, viewdirs):
-    rf, residuals = _fwd_impl(cfg, params, pts, viewdirs)
-    return rf, residuals
-
-
-def _flex_train_bwd(cfg, residuals, g):
-    n, s = g.shape[0], g.shape[1]  # static at trace time
-    dparams = _bwd_impl(cfg, n, s, residuals, g)
-    # Zero by design: pts/viewdirs are non-differentiable training data
-    # (module docstring) — this function must not serve pose optimization.
-    return (
-        dparams,
-        jnp.zeros((n, s, 3), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-    )
-
-
-_flex_train.defvjp(_flex_train_fwd, _flex_train_bwd)
+_flex_train = build_train_vjp(_FAMILY)
 
 
 @functools.partial(

@@ -256,6 +256,33 @@ def test_train_pallas_stage_is_guard_gated(monkeypatch):
         assert "train_pallas_speedup" not in bad
 
 
+def test_multiscene_pallas_stage_is_guard_gated(monkeypatch):
+    """The fused multiscene stage obeys the numerics gate and computes its
+    speedup against the XLA multiscene stage's number."""
+    captured = {}
+
+    def fake_multiscene(num_scenes=6, batch=1024, steps_per_call=50,
+                        calls=3, use_pallas_train=False):
+        captured["use_pallas_train"] = use_pallas_train
+        return 600_000.0
+
+    monkeypatch.setattr(bench, "bench_multiscene", fake_multiscene)
+
+    r = {"pallas_numerics_ok": True,
+         "multiscene6_train_rays_per_sec_bf16": 300_000.0}
+    bench._stage_multiscene_pallas(r)
+    assert captured["use_pallas_train"] is True
+    assert r["multiscene6_pallas_train_rays_per_sec_bf16"] == 600_000.0
+    assert r["multiscene6_pallas_speedup"] == 2.0
+
+    for bad in ({"pallas_numerics_ok": False}, {}):  # failed / never ran
+        bench._stage_multiscene_pallas(bad)
+        assert captured["use_pallas_train"] is False
+        assert "multiscene6_pallas_train_rays_per_sec_bf16_degraded_xla" in bad
+        assert "multiscene6_pallas_train_rays_per_sec_bf16" not in bad
+        assert "multiscene6_pallas_speedup" not in bad
+
+
 def test_train_paper_pallas_stage_is_guard_gated(monkeypatch):
     """The fused-training-kernel stage obeys the same numerics gate as the
     render stages: healthy guard -> kernel path + speedup/MFU keys; failed

@@ -167,3 +167,58 @@ def test_renderer_dispatches_flex_training_kernels(flex, monkeypatch):
     loss_f({"coarse": sparams, "fine": sparams}, ro, rd, tgt,
            jax.random.PRNGKey(9))
     assert calls["n"] == 2
+
+
+def test_multiscene_step_composes_with_training_kernels(flex, monkeypatch):
+    """vmap over scenes composes with the custom-VJP kernels: inside the
+    vmap trace the dispatch gate sees UNBATCHED per-scene params (so it
+    admits the default shape), and JAX's pallas batching rule adds the
+    scene axis as a leading grid dimension — the whole multiscene update
+    stays one program. Trajectory parity vs the XLA multiscene path."""
+    import optax
+
+    import nerf_tpu.ops.pallas.flex_train as ft_mod
+    from nerf_tpu.parallel.multiscene import (
+        create_multiscene_state,
+        make_multiscene_train_step,
+    )
+
+    model, _ = flex
+    real = ft_mod.fused_flex_mlp_train
+    calls = {"n": 0}
+
+    def spy(*args, **kwargs):
+        calls["n"] += 1
+        kwargs["interpret"] = True  # CPU backend in tests
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ft_mod, "fused_flex_mlp_train", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    num_scenes, batch = 3, 32
+    key = jax.random.PRNGKey(20)
+    ro = jax.random.uniform(key, (num_scenes, batch, 3), minval=-1, maxval=1)
+    rd = ro - jnp.asarray([0.0, 0.0, 2.0])
+    tgt = jax.random.uniform(key, (num_scenes, batch, 3))
+    opt = optax.adam(5e-4)
+    kw = dict(
+        num_coarse=8, num_fine=8, perturb=True,
+        radiance_field_noise_std=0.0, near=2.0, far=6.0,
+        num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+    )
+
+    losses = {}
+    for use_kernel in (True, False):
+        settings = RenderSettings(use_pallas_train=use_kernel, **kw)
+        state = create_multiscene_state(model, model, opt,
+                                        jax.random.PRNGKey(0), num_scenes)
+        step = make_multiscene_train_step(model, model, settings, opt,
+                                          jit=False)
+        trace = []
+        for i in range(2):
+            state, m = step(state, ro, rd, tgt, jax.random.PRNGKey(30 + i))
+            trace.append(np.asarray(m.loss))
+        losses[use_kernel] = np.stack(trace)
+    assert calls["n"] == 4  # (coarse + fine) x 2 steps, fused path only
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=2e-3, atol=2e-5)
