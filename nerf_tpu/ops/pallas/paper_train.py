@@ -35,6 +35,12 @@ Design (feature-major, same layout family as ops/pallas/paper_t.py):
     ``RenderSettings.use_pallas_train`` flag, which only the ray-batch
     trainer sets.
 
+The tile layout, padding, BlockSpec construction, host-side dir split
+(and its f32 precision policy), and the custom_vjp wiring are shared with
+the FlexibleNeRF family through ops/pallas/train_vjp.py; this module owns
+only the two kernel bodies, the weight preparation, and the
+gradient-pytree assembly.
+
 Paper quirks kept exactly (reference nerf/models.py:123-183): fc_feat
 output not ReLU'd, alpha read from feat, layers_dir[3] dead (its gradient
 is zero).
@@ -47,7 +53,6 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,6 +62,14 @@ from .paper_t import (
     _WIDTH,
     _prepare_weights_paper_t,
     supports_fused_paper,
+)
+from .train_vjp import (
+    TrainKernelFamily,
+    _sample_tile,
+    build_train_vjp,
+    matmul_precision as _matmul_precision,
+    regroup_gather_indices as _regroup_gather_indices,
+    unregroup_rows as _unregroup_rows,
 )
 
 Params = Dict[str, Any]
@@ -73,70 +86,11 @@ supports_fused_paper_train = supports_fused_paper
 
 
 def _sample_tile_train(s: int, compute_dtype="bfloat16") -> int:
-    max_tile = (
-        _MAX_TILE_TRAIN_F32
-        if jnp.dtype(compute_dtype) == jnp.float32
-        else _MAX_TILE_TRAIN_BF16
-    )
-    cap = max(1, max_tile // _RAYS)
-    best = 1
-    for d in range(1, min(s, cap) + 1):
-        if s % d == 0:
-            best = d
-    return best
-
-
-def _tile_lanes(x: jnp.ndarray, g_r: int, g_s: int, s_t: int) -> jnp.ndarray:
-    """(N_padded, S, C) -> (C, g_r*g_s*T) sample-major tile layout
-    (lane within a tile = j*_RAYS + r), matching paper_t's transform."""
-    c = x.shape[-1]
-    return (
-        x.reshape(g_r, _RAYS, g_s, s_t, c)
-        .transpose(4, 0, 2, 3, 1)
-        .reshape(c, g_r * g_s * s_t * _RAYS)
-    )
-
-
-def _untile_lanes(x: jnp.ndarray, g_r: int, g_s: int, s_t: int) -> jnp.ndarray:
-    """(C, g_r*g_s*T) -> (N_padded, S, C)."""
-    c = x.shape[0]
-    return (
-        x.reshape(c, g_r, g_s, s_t, _RAYS)
-        .transpose(1, 4, 2, 3, 0)
-        .reshape(g_r * _RAYS, g_s * s_t, c)
-    )
-
-
-def _regroup_gather_indices(num_freq: int) -> np.ndarray:
-    """Row order used by _split_rows' [x | sin | cos] regrouping: grouped
-    row i comes from original (interleaved per-frequency sin/cos,
-    nerf_helpers.py:149-151) row G[i]."""
-    g = [0, 1, 2]
-    for f in range(num_freq):
-        g += [3 + 6 * f + c for c in range(3)]
-    for f in range(num_freq):
-        g += [3 + 6 * f + 3 + c for c in range(3)]
-    return np.asarray(g)
-
-
-def _unregroup_rows(dw_grouped: jnp.ndarray, num_freq: int) -> jnp.ndarray:
-    """Inverse row permutation: (dim_xyz, out) grouped -> reference order."""
-    inv = np.argsort(_regroup_gather_indices(num_freq))
-    return dw_grouped[inv]
+    return _sample_tile(_FAMILY, s, compute_dtype)
 
 
 # ---------------------------------------------------------------------------
 # Forward kernel: paper_t's evaluation + residual outputs.
-
-
-def _matmul_precision(compute_dtype):
-    """f32 compute means REALLY f32: without this, Mosaic runs f32 dots at
-    the MXU's default (bf16-pass) precision and the f32 parity path carries
-    bf16-class error (~7e-3) — observed on-chip in the backward's bias
-    rows. bf16 compute keeps the fast default."""
-    return (jax.lax.Precision.HIGHEST
-            if jnp.dtype(compute_dtype) == jnp.float32
-            else jax.lax.Precision.DEFAULT)
 
 
 def _make_fwd_kernel(compute_dtype, s_tile: int, num_freq_xyz: int):
@@ -357,152 +311,39 @@ def _make_bwd_kernel(compute_dtype, s_tile: int, g_s: int):
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp plumbing.
+# Family spec + custom_vjp plumbing (shared builder: ops/pallas/train_vjp.py
+# owns the tile layout, padding, BlockSpecs, host-side dir split and its
+# precision policy, and the defvjp wiring).
 
 
-def _layout(n: int, s: int, compute_dtype):
-    padded = -(-n // _RAYS) * _RAYS
-    s_t = _sample_tile_train(s, compute_dtype)
-    g_r = padded // _RAYS
-    g_s = s // s_t
-    t = _RAYS * s_t
-    return padded, s_t, g_r, g_s, t
+def _residual_dims(dim_xyz):
+    # Forward-kernel residual outputs, in signature order: enc, hs (8 trunk
+    # activations), feat, ds (3 dir activations). Lane axis appended by the
+    # builder.
+    return ((dim_xyz,), (8, _WIDTH), (_WIDTH,), (3, _DIR_WIDTH))
 
 
-def _fwd_impl(cfg, params, pts, viewdirs):
-    num_freq_xyz, num_freq_dir, compute_dtype, interpret = cfg
-    from ...ops.encoding import positional_encoding
-
-    n, s = pts.shape[0], pts.shape[1]
-    padded, s_t, g_r, g_s, t = _layout(n, s, compute_dtype)
-    dim_xyz = 3 + 6 * num_freq_xyz
-    cdtype = jnp.dtype(compute_dtype)
-
-    wdir = jnp.asarray(params["layers_dir"][0]["kernel"])
-    direnc = positional_encoding(viewdirs, num_freq_dir)
-    # Same precision policy as the kernels: HIGHEST under f32 parity (at
-    # the TPU default bf16 pass, sub-ulp parameter perturbations vanish —
-    # the f32 path's FD self-consistency depends on this; found on-chip in
-    # the flex_train sibling, ops/pallas/flex_train.py).
-    dcontrib = jnp.dot(direnc, wdir[_WIDTH:],
-                       preferred_element_type=jnp.float32,
-                       precision=_matmul_precision(compute_dtype))
-    if padded != n:
-        pts = jnp.pad(pts, ((0, padded - n), (0, 0), (0, 0)))
-        dcontrib = jnp.pad(dcontrib, ((0, padded - n), (0, 0)))
-
-    weights = _prepare_weights_paper_t(params, cdtype, num_freq_xyz)
-    pts_t = _tile_lanes(pts, g_r, g_s, s_t).astype(jnp.float32)
-    dc_t = dcontrib.T.astype(jnp.float32)
-
-    lanes = g_r * g_s * t
-    in_specs = [
-        pl.BlockSpec((3, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_DIR_WIDTH, _RAYS), lambda i, _gs=g_s: (0, i // _gs),
-                     memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                     memory_space=pltpu.VMEM)
-        for w in weights
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct((4, lanes), jnp.float32),
-        jax.ShapeDtypeStruct((dim_xyz, lanes), cdtype),
-        jax.ShapeDtypeStruct((8, _WIDTH, lanes), cdtype),
-        jax.ShapeDtypeStruct((_WIDTH, lanes), cdtype),
-        jax.ShapeDtypeStruct((3, _DIR_WIDTH, lanes), cdtype),
-    ]
-    out_specs = [
-        pl.BlockSpec((4, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((dim_xyz, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, _WIDTH, t), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((_WIDTH, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, _DIR_WIDTH, t), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-    ]
-    out, enc_r, hs_r, feat_r, ds_r = pl.pallas_call(
-        _make_fwd_kernel(cdtype, s_t, num_freq_xyz),
-        out_shape=out_shapes,
-        grid=(g_r * g_s,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-    )(pts_t, dc_t, *weights)
-
-    rf = _untile_lanes(out, g_r, g_s, s_t)[:n]
-    residuals = (enc_r, hs_r, feat_r, ds_r, direnc, weights)
-    return rf, residuals
-
-
-def _bwd_impl(cfg, n, s, residuals, g):
-    num_freq_xyz, num_freq_dir, compute_dtype, interpret = cfg
-    enc_r, hs_r, feat_r, ds_r, direnc, weights = residuals
-    padded, s_t, g_r, g_s, t = _layout(n, s, compute_dtype)
-    dim_xyz = 3 + 6 * num_freq_xyz
-    cdtype = jnp.dtype(compute_dtype)
-
-    g = g.astype(jnp.float32)
-    if padded != n:
-        g = jnp.pad(g, ((0, padded - n), (0, 0), (0, 0)))
-    dy_t = _tile_lanes(g, g_r, g_s, s_t)
-
-    lanes = g_r * g_s * t
-    in_specs = [
-        pl.BlockSpec((4, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((dim_xyz, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, _WIDTH, t), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((_WIDTH, t), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, _DIR_WIDTH, t), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                     memory_space=pltpu.VMEM)
-        for w in weights
-    ]
-    f32 = jnp.float32
-    out_shapes = [
-        jax.ShapeDtypeStruct((8, _WIDTH, _WIDTH), f32),        # dwbig
-        jax.ShapeDtypeStruct((2, _WIDTH, dim_xyz), f32),       # dwenc
-        jax.ShapeDtypeStruct((2, _DIR_WIDTH, _DIR_WIDTH), f32),  # dwd
-        jax.ShapeDtypeStruct((_DIR_WIDTH, _WIDTH), f32),       # dwd0
-        jax.ShapeDtypeStruct((1, _WIDTH), f32),                # dwalpha
-        jax.ShapeDtypeStruct((3, _DIR_WIDTH), f32),            # dwrgb
-        jax.ShapeDtypeStruct((9, _WIDTH), f32),                # db256
-        jax.ShapeDtypeStruct((3, _DIR_WIDTH), f32),            # db128
-        jax.ShapeDtypeStruct((_DIR_WIDTH, padded), f32),       # ddc
-    ]
-
-    def whole(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
-                            memory_space=pltpu.VMEM)
-
-    out_specs = [whole(sh.shape) for sh in out_shapes[:-1]] + [
-        pl.BlockSpec((_DIR_WIDTH, _RAYS), lambda i, _gs=g_s: (0, i // _gs),
-                     memory_space=pltpu.VMEM),
-    ]
-    (dwbig, dwenc, dwd, dwd0, dwalpha, dwrgb, db256, db128, ddc) = (
-        pl.pallas_call(
-            _make_bwd_kernel(cdtype, s_t, g_s),
-            out_shape=out_shapes,
-            grid=(g_r * g_s,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            interpret=interpret,
-        )(dy_t, enc_r, hs_r, feat_r, ds_r, *weights)
+def _grad_dims(dim_xyz):
+    # Backward-kernel accumulator outputs, in signature order (ddc is
+    # appended by the builder): dwbig, dwenc, dwd, dwd0, dwalpha, dwrgb,
+    # db256, db128.
+    return (
+        (8, _WIDTH, _WIDTH),
+        (2, _WIDTH, dim_xyz),
+        (2, _DIR_WIDTH, _DIR_WIDTH),
+        (_DIR_WIDTH, _WIDTH),
+        (1, _WIDTH),
+        (3, _DIR_WIDTH),
+        (9, _WIDTH),
+        (3, _DIR_WIDTH),
     )
 
-    # Host-side assembly into the exact params pytree layout (kernels store
-    # (out, in); params store (in, out); encoded-row blocks un-regroup from
-    # [x|sin|cos] back to the reference's interleaved order).
-    dw_dir_rows = jnp.dot(direnc.T, ddc[:, :n].T,
-                          preferred_element_type=jnp.float32,
-                          precision=_matmul_precision(compute_dtype),
-                          )  # (dim_dir, 128)
-    drgb_sum = jnp.sum(g[:, :, 0:3], axis=(0, 1))
-    dsigma_sum = jnp.sum(g[:, :, 3], axis=(0, 1))
+
+def _assemble_grads(outs, dw_dir_rows, drgb_sum, dsigma_sum, num_freq_xyz):
+    """Kernel accumulators -> the exact params pytree layout (kernels store
+    (out, in); params store (in, out); encoded-row blocks un-regroup from
+    [x|sin|cos] back to the reference's interleaved order)."""
+    dwbig, dwenc, dwd, dwd0, dwalpha, dwrgb, db256, db128 = outs
 
     def lx(kernel, bias):
         return {"kernel": kernel, "bias": bias}
@@ -539,30 +380,20 @@ def _bwd_impl(cfg, n, s, residuals, g):
     }
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _paper_train(cfg, params, pts, viewdirs):
-    rf, _ = _fwd_impl(cfg, params, pts, viewdirs)
-    return rf
+_FAMILY = TrainKernelFamily(
+    dir_width=_DIR_WIDTH,
+    wdir_split_row=_WIDTH,
+    max_tile_bf16=_MAX_TILE_TRAIN_BF16,
+    max_tile_f32=_MAX_TILE_TRAIN_F32,
+    prepare_weights=_prepare_weights_paper_t,
+    make_fwd_kernel=_make_fwd_kernel,
+    make_bwd_kernel=_make_bwd_kernel,
+    residual_dims=_residual_dims,
+    grad_dims=_grad_dims,
+    assemble_grads=_assemble_grads,
+)
 
-
-def _paper_train_fwd(cfg, params, pts, viewdirs):
-    rf, residuals = _fwd_impl(cfg, params, pts, viewdirs)
-    return rf, residuals
-
-
-def _paper_train_bwd(cfg, residuals, g):
-    n, s = g.shape[0], g.shape[1]  # static at trace time
-    dparams = _bwd_impl(cfg, n, s, residuals, g)
-    # Zero by design: pts/viewdirs are non-differentiable training data
-    # (module docstring) — this function must not serve pose optimization.
-    return (
-        dparams,
-        jnp.zeros((n, s, 3), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-    )
-
-
-_paper_train.defvjp(_paper_train_fwd, _paper_train_bwd)
+_paper_train = build_train_vjp(_FAMILY)
 
 
 @functools.partial(
